@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship validation-routing query on sf0.001.
+queries()      -> one callable per implemented operator (SURVEY.md §2.16).
+oracle_sql()   -> DuckDB-equivalent SQL per query key.
+
+Column-name discipline: every computed/aggregate column is aliased
+identically in the Spark code and the SQL. Float aggregates use exact
+DECIMAL accumulation cast back to DOUBLE on both sides (see _dsum) —
+float sums are partition-order dependent and round() tie-breaking
+differs between engines, decimal sums are exact in both.
 """
 
 from __future__ import annotations
@@ -12,27 +16,349 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hri_flink_pipeline_core_spark.operators import relational as R
+from hri_flink_pipeline_core_spark.operators.tracker import track_batches_batch
+from hri_flink_pipeline_core_spark.operators.validation import validate_records
+from hri_flink_pipeline_core_spark.plans import testdata as TD
+from hri_flink_pipeline_core_spark.session import read_table, ts_ns
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _dsum(col) -> "F.Column":
+    """Order-independent money sum: exact DECIMAL accumulation, DOUBLE out.
+
+    Float sums are partition-order dependent and round() tie-breaking
+    differs between engines; decimal sums are exact in both Spark and
+    DuckDB, and the final decimal->double conversion is correctly rounded
+    (hence identical) in both."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+def _validation_outputs(spark: SparkSession, sf_dir: str):
+    records = TD.hri_records_from_events(spark, sf_dir)
+    notifications = TD.notifications_dim(spark, sf_dir)
+    return validate_records(records, notifications)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's validation pipeline (header extraction ->
+    broadcast notification join -> 5 routing rules -> route counts) over
+    sf0.001 events shaped as HriRecords."""
+    out = _validation_outputs(spark, SF0001)
+    return out.annotated.groupBy("route").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.when(F.col("emit_count"), 1).otherwise(0)).alias("n_count_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style aggregate (agg.count_by_key generalization)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            ).cast("double").alias("sum_disc_price"),
+            (_dsum(F.col("l_discount")) / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_filter_orders(spark, sf_dir):
+    return R.filter_rows(_t(spark, sf_dir, "orders"), F.col("o_orderstatus") == "F")
+
+
+def q_project_net_price(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return R.project(
+        li,
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+    )
+
+
+def q_join_broadcast_part(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = R.join_broadcast(
+        li, part, li["l_partkey"] == part["p_partkey"], "inner"
+    )
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("line_count"),
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+def q_join_shuffle_orders_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = R.join_shuffle(o, c, o["o_custkey"] == c["c_custkey"], "inner")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        _dsum(F.col("o_totalprice")).alias("sum_total"),
+    )
+
+
+def q_semi_join_customers_with_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return R.join_shuffle(
+        c, o, c["c_custkey"] == o["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def q_anti_join_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return R.join_shuffle(
+        c, o, c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_count_by_key(spark, sf_dir):
+    """agg.count_by_key — Tracker counters, relational form."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = R.count_by_key(li, ["l_returnflag"], invalid_cond=F.col("l_discount") > 0.05)
+    return out
+
+
+def q_threshold_trigger(spark, sf_dir):
+    """agg.threshold_trigger — HAVING-style fail-at-threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    counted = R.count_by_key(li, ["l_orderkey"])
+    return R.threshold_trigger(counted, "record_count", 5)
+
+
+def q_latest_per_key(spark, sf_dir):
+    """latest_per_key — broadcast-state last-write-wins semantics."""
+    ev = _t(spark, sf_dir, "events")
+    return R.latest_per_key(ev, ["user_id"], "event_id")
+
+
+def q_topk_per_key(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return R.top_k_per_key(
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        F.struct(F.col("o_totalprice"), F.col("o_orderkey")),
+        3,
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return R.dedup_exact(ev.select("user_id", "event_type"))
+
+
+def q_route_counts(spark, sf_dir):
+    """The full validation operator: route distribution."""
+    out = _validation_outputs(spark, sf_dir)
+    return out.annotated.groupBy("route").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_validation_invalid(spark, sf_dir):
+    """The invalid-records side output (InvalidRecord envelopes)."""
+    return _validation_outputs(spark, sf_dir).invalid
+
+
+def q_tracker_terminal(spark, sf_dir):
+    """Batch-mode tracker: terminal notifications per batch."""
+    out = _validation_outputs(spark, sf_dir)
+    notifications = TD.notifications_dim(spark, sf_dir)
+    return track_batches_batch(out.counts, notifications)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "filter_orders": q_filter_orders,
+        "project_net_price": q_project_net_price,
+        "join_broadcast_part": q_join_broadcast_part,
+        "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
+        "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
+        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+        "count_by_key": q_count_by_key,
+        "threshold_trigger": q_threshold_trigger,
+        "latest_per_key": q_latest_per_key,
+        "topk_per_key": q_topk_per_key,
+        "dedup_exact": q_dedup_exact,
+        "route_counts": q_route_counts,
+        "validation_invalid": q_validation_invalid,
+        "tracker_terminal": q_tracker_terminal,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+_DIM_SQL = """
+  SELECT 'batch-' || CAST(i AS VARCHAR) AS batchId,
+         CASE CAST(i % 5 AS INTEGER)
+           WHEN 0 THEN 'started' WHEN 1 THEN 'sendCompleted'
+           WHEN 2 THEN 'completed' WHEN 3 THEN 'failed'
+           ELSE 'terminated' END AS last_status,
+         CAST(i * 10 AS INTEGER) AS expectedRecordCount,
+         CAST(CASE WHEN i % 3 = 0 THEN 5 ELSE -1 END AS INTEGER) AS invalidThreshold
+  FROM range(40) t(i)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    routed = TD.SQL_ROUTED_EVENTS
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS sum_disc_price,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                     AS avg_disc,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "filter_orders": "SELECT * FROM orders WHERE o_orderstatus = 'F'",
+        "project_net_price": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS net_price
+            FROM lineitem
+        """,
+        "join_broadcast_part": """
+            SELECT p.p_brand,
+                   CAST(COUNT(*) AS BIGINT) AS line_count,
+                   CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand
+        """,
+        "join_shuffle_orders_customer": """
+            SELECT c.c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS order_count,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "semi_join_customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "anti_join_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "count_by_key": """
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS record_count,
+                   CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS invalid_count
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "threshold_trigger": """
+            SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS record_count
+            FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) >= 5
+        """,
+        "latest_per_key": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM (SELECT *, ROW_NUMBER() OVER
+                    (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "topk_per_key": """
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+                  FROM orders)
+            WHERE rn <= 3
+        """,
+        "dedup_exact": "SELECT DISTINCT user_id, event_type FROM events",
+        "route_counts": f"""
+            SELECT route, CAST(COUNT(*) AS BIGINT) AS n
+            FROM ({routed}) GROUP BY route
+        """,
+        "validation_invalid": f"""
+            SELECT
+              CASE
+                WHEN batch_id IS NULL THEN 'Bad Message - No header or batchId node'
+                WHEN status IS NULL THEN 'Bad Message - Unknown batchId'
+                WHEN status = 'completed' THEN 'Bad Message - batchId is already completed'
+                ELSE 'Invalid JSON: unable to parse record value: '
+                     || COALESCE(SUBSTR(payload, 1, 120), '<null>')
+              END AS failure,
+              'ingest.t1.data-int1.in' AS topic,
+              CAST(user_id % 8 AS INTEGER) AS partition,
+              CAST(event_id AS INTEGER) AS offset,
+              batch_id AS batchId
+            FROM ({routed}) r
+            JOIN events e USING (event_id)
+            WHERE r.route = 'invalid'
+        """,
+        "tracker_terminal": f"""
+            WITH counts AS (
+              SELECT batch_id AS batchId,
+                     CAST(COUNT(*) FILTER (WHERE route = 'valid') AS BIGINT) AS valid,
+                     CAST(COUNT(*) FILTER (WHERE route = 'invalid') AS BIGINT) AS invalid
+              FROM ({routed}) WHERE emit_count GROUP BY 1
+            ),
+            dim AS ({_DIM_SQL}),
+            joined AS (
+              SELECT COALESCE(c.batchId, d.batchId) AS batchId,
+                     COALESCE(c.valid, 0) AS valid,
+                     COALESCE(c.invalid, 0) AS invalid,
+                     d.last_status, d.expectedRecordCount, d.invalidThreshold
+              FROM counts c FULL OUTER JOIN dim d ON c.batchId = d.batchId
+            ),
+            flagged AS (
+              SELECT *,
+                (invalidThreshold IS NOT NULL AND invalidThreshold > -1
+                 AND last_status <> 'terminated' AND invalid >= invalidThreshold)
+                  AS thr,
+                (last_status = 'sendCompleted'
+                 AND valid + invalid > expectedRecordCount) AS ovf,
+                (last_status = 'sendCompleted'
+                 AND valid + invalid = expectedRecordCount) AS cmp
+              FROM joined
+            )
+            SELECT batchId,
+                   CASE WHEN thr THEN 'failed' WHEN ovf THEN 'failed'
+                        WHEN cmp THEN 'completed' END AS status,
+                   CAST(valid + invalid AS INTEGER) AS actualRecordCount,
+                   CAST(invalid AS INTEGER) AS invalidRecordCount,
+                   CASE
+                     WHEN thr THEN 'Failing Batch: ' || batchId
+                       || ', too many invalid records invalidCount: '
+                       || CAST(invalid AS VARCHAR)
+                       || ' == invalidThreshold: ' || CAST(invalidThreshold AS VARCHAR)
+                     WHEN ovf THEN 'Failing batch: ' || batchId
+                       || ', received too many records, actualRecordCount: '
+                       || CAST(valid + invalid AS VARCHAR)
+                       || ' > expectedRecordCount: '
+                       || CAST(expectedRecordCount AS VARCHAR)
+                   END AS failureMessage
+            FROM flagged
+            WHERE thr OR ovf OR cmp
+        """,
+    }

@@ -1,0 +1,136 @@
+"""Relational operator surface (SURVEY.md §2.16).
+
+Each operator is a thin, named composition of DataFrame primitives so the
+logical plan stays fully declarative — Catalyst gets predicate pushdown,
+column pruning, join selection, and whole-stage codegen for free. The
+value of naming them is (a) parity bookkeeping against the reference's
+operator inventory and (b) a stable seam where scale policy lives
+(broadcast vs shuffle, salting, partial aggregation).
+
+Reference derivations are cited per function.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# --- projection / filtering (reference #4 record reshaping, #5 routing) -----
+
+def project(df: DataFrame, *cols: Column | str) -> DataFrame:
+    """`project` — column pruning reaches the scan (check ReadSchema)."""
+    return df.select(*cols)
+
+
+def filter_rows(df: DataFrame, predicate: Column | str) -> DataFrame:
+    """`filter` — predicate pushdown reaches the scan (check PushedFilters)."""
+    return df.filter(predicate)
+
+
+def route(df: DataFrame, routes: dict[str, Column]) -> dict[str, DataFrame]:
+    """`route` — multi-way split: N filtered projections of ONE annotated
+    DataFrame (Flink side-output parity, ValidationProcessFunction.scala
+    output tags). Caller persists `df` before fan-out when each branch is
+    written separately (see streaming.validation_job)."""
+    return {name: df.filter(pred) for name, pred in routes.items()}
+
+
+# --- joins (reference #3 broadcast state; generalized per §2.16) ------------
+
+def join_broadcast(
+    fact: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """`join.broadcast` — replicate the small side to every task; no
+    shuffle of the fact stream (BroadcastHashJoinExec). The Spark analogue
+    of the reference's broadcast map-state (BaseValidationJob.scala:171)."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def join_shuffle(
+    left: DataFrame, right: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """`join.shuffle` — both sides hash-partition on the key (sort-merge or
+    shuffled-hash chosen by Catalyst/AQE; AQE converts to broadcast at
+    runtime if a side turns out small, and splits skewed partitions)."""
+    return left.join(right, on, how)
+
+
+def join_salted(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """`join.salted` — explicit skew mitigation for a hot key when AQE's
+    runtime skew-join isn't available (e.g. inside foreachBatch on older
+    configs): salt the big side, explode the small side."""
+    salted_left = left.withColumn(
+        "_salt", (F.pmod(F.hash(F.monotonically_increasing_id()), salt_buckets))
+    )
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    out = salted_left.join(salted_right, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+# --- aggregation (reference #9 Tracker counters) -----------------------------
+
+def count_by_key(
+    df: DataFrame, keys: Sequence[str], invalid_cond: Optional[Column] = None
+) -> DataFrame:
+    """`agg.count_by_key` — per-key totals with an optional flagged-subset
+    count; partial (map-side) aggregation shrinks the shuffle to
+    O(keys × tasks) (Tracker.scala:48-69 counters, distributed)."""
+    aggs = [F.count(F.lit(1)).alias("record_count")]
+    if invalid_cond is not None:
+        aggs.append(F.sum(F.when(invalid_cond, 1).otherwise(0)).alias("invalid_count"))
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def threshold_trigger(
+    counted: DataFrame, count_col: str, threshold: Column | int
+) -> DataFrame:
+    """`agg.threshold_trigger` — HAVING-style post-agg filter
+    (Tracker.scala:153-162 fail-at-threshold, relational form)."""
+    thr = F.lit(threshold) if isinstance(threshold, int) else threshold
+    return counted.filter(F.col(count_col) >= thr)
+
+
+# --- per-key ordering (reference broadcast-state last-write-wins) ------------
+
+def latest_per_key(
+    df: DataFrame, keys: Sequence[str], order_col: str, desc: bool = True
+) -> DataFrame:
+    """`latest_per_key` — last-write-wins per key
+    (ValidationProcessFunction.scala:223 map-state put). max_by aggregation
+    (single partial-aggregating shuffle, no sort) rather than a
+    row_number window (which would sort every partition)."""
+    order = F.col(order_col) if desc else -F.col(order_col)
+    others = [c for c in df.columns if c not in keys]
+    return df.groupBy(*keys).agg(*[F.max_by(c, order).alias(c) for c in others])
+
+
+def top_k_per_key(
+    df: DataFrame, keys: Sequence[str], order_col: Column | str, k: int
+) -> DataFrame:
+    """`topk_per_key` — rank-limited window; AQE + partial top-k pushdown
+    (Spark inserts a per-partition Limit before the shuffle for
+    row_number+filter plans)."""
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*keys).orderBy(order.desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def dedup_exact(df: DataFrame, keys: Optional[Sequence[str]] = None) -> DataFrame:
+    """`dedup` (exact) — hash-aggregate on the key columns (or all
+    columns). dropDuplicates = groupBy+first, partial-agg friendly."""
+    return df.dropDuplicates(list(keys) if keys else None)

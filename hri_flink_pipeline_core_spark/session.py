@@ -1,0 +1,98 @@
+"""SparkSession builders.
+
+Local test mode runs one JVM with N threads; the configs below are chosen
+so the same code scales to a multi-executor cluster:
+
+- ``spark.sql.shuffle.partitions`` sized to cores locally; at cluster
+  scale AQE coalesces / splits post-shuffle partitions at runtime, so the
+  static number only seeds the initial plan.
+- AQE on: runtime re-planning (skew-join splitting, broadcast demotion/
+  promotion, partition coalescing) is the 100-TB safety net.
+- Arrow on: every pandas UDF / applyInPandas crossing is Arrow-batched.
+- Session timezone pinned UTC so results compare bit-exactly with the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "hri-pipeline-core-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned local SparkSession.
+
+    On a real cluster the ``master`` / memory settings come from
+    spark-submit; everything under ``spark.sql.*`` here is
+    cluster-appropriate as-is.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read a driver testdata parquet table (TESTDATA.md schema).
+
+    Some testdata columns are TIMESTAMP(NANOS), which Spark's Parquet
+    reader has no native type for; ``nanosAsLong`` reads them as epoch-ns
+    LongType and we convert to microsecond TimestampType (truncating).
+    DuckDB (the correctness oracle) performs the identical truncation when
+    it reads TIMESTAMP_NS parquet into its micro-resolution TIMESTAMP, so
+    both engines see bit-identical values.
+    """
+    import pyarrow.parquet as pq
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    arrow_schema = pq.read_schema(path)
+    from pyspark.sql import functions as F
+
+    for field in arrow_schema:
+        if str(field.type) == "timestamp[ns]":
+            df = df.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+    return df
+
+
+def ts_ns(ts: str) -> int:
+    """Epoch-nanos for an ISO timestamp string (UTC) — the literal to
+    compare against epoch-ns long columns."""
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(ts)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:
+    """Read several testdata tables at once."""
+    return {name: read_table(spark, sf_dir, name) for name in names}

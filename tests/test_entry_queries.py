@@ -1,0 +1,41 @@
+"""Driver-contract parity: every queries() entry hash-matches its
+oracle_sql() on sf0.01 — the same check the driver runs for
+CORRECTNESS_r{N}.json."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle import compare, duck_connection
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck(sf01):
+    con = duck_connection(sf01)
+    yield con
+    con.close()
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert set(df.columns) == {"route", "n_records", "n_count_events"}
+
+
+def test_every_query_has_oracle():
+    missing = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops may be absent from oracles; keep explicit
+    allowed_missing = set()
+    assert missing <= allowed_missing
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf01, duck, name):
+    if name not in ORACLES:
+        pytest.skip("rows-only check (non-SQL-expressible)")
+    df = QUERIES[name](spark, sf01)
+    n = compare(df, duck, ORACLES[name], name)
+    assert n >= 0
