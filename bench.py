@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""BENCH: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is timed end-to-end (plan + execute + count-style action),
+after a warm-up action that pays the one-time session/JIT costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main() -> int:
+    from hri_flink_pipeline_core_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark("hri-bench", cpus=CPUS)
+
+    queries = entry.queries()
+
+    # Warm-up pass: run the whole suite once at the smallest SF so JIT,
+    # whole-stage codegen compilation, and Arrow/pandas import costs are
+    # paid before timing (same plans, different data scale).
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for fn in queries.values():
+            try:
+                fn(spark, warm_dir).toPandas()
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        # Force full execution of every operator and materialize all
+        # columns (count() alone would let Catalyst prune the plan).
+        n = df.toPandas().shape[0]
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
