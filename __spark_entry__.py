@@ -19,6 +19,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hri_flink_pipeline_core_spark.operators import relational as R
+from hri_flink_pipeline_core_spark.operators import dedup as D
+from hri_flink_pipeline_core_spark.operators import multimodal as MM
+from hri_flink_pipeline_core_spark.operators import similarity as S
+from hri_flink_pipeline_core_spark.operators import text as TX
+from hri_flink_pipeline_core_spark.operators import windows as W
+from hri_flink_pipeline_core_spark.plans import oracles as O
 from hri_flink_pipeline_core_spark.operators.tracker import track_batches_batch
 from hri_flink_pipeline_core_spark.operators.validation import validate_records
 from hri_flink_pipeline_core_spark.plans import testdata as TD
@@ -186,6 +192,155 @@ def q_tracker_terminal(spark, sf_dir):
     return track_batches_batch(out.counts, notifications)
 
 
+# --- text analysis / dedup (training-data surface) -------------------------
+
+def q_text_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        TX.token_count_bpe(F.col("text")).alias("n_tokens_bpe"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_detected"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fingerprint"),
+        TX.normalized_md5(F.col("text")).alias("content_key"),
+    )
+
+
+def q_dedup_exact_text(spark, sf_dir):
+    return D.dedup_exact_text(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs)
+    return D.ngram_jaccard_pairs(docs, cands, threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return D.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+# --- embedding similarity ---------------------------------------------------
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ann_topk_bruteforce(emb.filter(F.col("vec_id") < 20), emb, k=5)
+
+
+def q_cosine_neardup(spark, sf_dir):
+    return S.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_lsh_bucket_counts(spark, sf_dir):
+    return S.lsh_bucket_counts(_t(spark, sf_dir, "embeddings"))
+
+
+def q_ivf_centroids(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim_idx", "val")
+    )
+    # Explicit half-up quantization at 1e-10 (floor(x*1e10+0.5) as int64):
+    # float32 inputs have SHORT exact decimal expansions that genuinely tie
+    # at the 11th digit, so decimal casts diverge between Spark (half-up)
+    # and DuckDB (half-even). floor(+0.5) is the same IEEE op in both.
+    q = F.floor(F.col("val").cast("double") * F.lit(1e10) + F.lit(0.5))
+    return exploded.groupBy("label", "dim_idx").agg(
+        (F.sum(q).cast("double") / F.lit(1e10) / F.count(F.lit(1))).alias("mean_val")
+    )
+
+
+# --- multimodal binary columns ----------------------------------------------
+
+def q_media_blob_stats(spark, sf_dir):
+    media = MM.media_from_documents(_t(spark, sf_dir, "documents"))
+    return MM.blob_stats(media)
+
+
+def q_media_decode_features(spark, sf_dir):
+    media = MM.media_from_documents(_t(spark, sf_dir, "documents"))
+    return MM.decode_features(media)
+
+
+def q_frame_sample(spark, sf_dir):
+    media = MM.media_from_documents(_t(spark, sf_dir, "documents"))
+    return MM.frame_sample(media, every_ms=1000)
+
+
+# --- event-time windows -----------------------------------------------------
+
+def q_window_tumbling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return W.tumbling(ev, "ts", "1 hour", ["event_type"], "value")
+
+
+def q_window_sliding(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return W.sliding(ev, "ts", "1 hour", "30 minutes", ["event_type"], "value")
+
+
+def q_session_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return W.session(ev, "ts", "10 minutes", ["user_id"], "value")
+
+
+# --- relational extras ------------------------------------------------------
+
+def q_cube_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+def q_pivot_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(_dsum(F.col("l_quantity")))
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f_keys.intersect(o_keys).unionByName(
+        f_keys.exceptAll(f_keys)  # empty, exercises except
+    ).distinct()
+
+
+def q_analytic_window(spark, sf_dir):
+    from pyspark.sql import Window as SW
+
+    ev = _t(spark, sf_dir, "events")
+    w = SW.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("running_value"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -203,6 +358,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "validation_invalid": q_validation_invalid,
         "tracker_terminal": q_tracker_terminal,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact_text": q_dedup_exact_text,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "cosine_neardup": q_cosine_neardup,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
+        "ivf_centroids": q_ivf_centroids,
+        "media_blob_stats": q_media_blob_stats,
+        "media_decode_features": q_media_decode_features,
+        "frame_sample": q_frame_sample,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "session_windows": q_session_windows,
+        "cube_agg": q_cube_agg,
+        "pivot_agg": q_pivot_agg,
+        "set_ops": q_set_ops,
+        "analytic_window": q_analytic_window,
     }
 
 
@@ -360,5 +536,111 @@ def oracle_sql() -> dict[str, str]:
                    END AS failureMessage
             FROM flagged
             WHERE thr OR ovf OR cmp
+        """,
+        # --- training-data surface ---
+        "text_stats": O.text_stats_sql(),
+        "lang_id": O.lang_id_sql(),
+        "doc_fingerprint": O.fingerprint_sql(),
+        "dedup_exact_text": O.dedup_exact_sql(),
+        "minhash_lsh_pairs": O.minhash_lsh_pairs_sql(),
+        "ngram_jaccard_pairs": O.ngram_jaccard_pairs_sql(threshold=0.5),
+        "simhash_pairs": O.simhash_pairs_sql(),
+        "ann_topk": O.ann_topk_sql(k=5, n_queries=20),
+        "cosine_neardup": O.cosine_neardup_sql(threshold=0.4),
+        "lsh_bucket_counts": O.lsh_bucket_counts_sql(),
+        "ivf_centroids": O.ivf_centroids_sql(),
+        "media_blob_stats": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   md5(text) AS content_md5,
+                   CAST(n_chars % 640 AS INTEGER) AS width,
+                   CAST(n_chars % 480 AS INTEGER) AS height
+            FROM documents
+        """,
+        "media_decode_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   CAST(ascii(substr(text, 1, 1)) AS INTEGER) AS head_byte,
+                   CAST(list_sum(list_transform(string_split(text, ''), c -> ascii(c)))
+                        AS DOUBLE) / octet_length(encode(text)) AS byte_mean,
+                   CAST(octet_length(encode(text)) // 64 + 1 AS INTEGER) AS frame_count
+            FROM documents
+        """,
+        "frame_sample": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(range(0, greatest(CAST(floor((n_chars * 10) / 1000.0) AS INTEGER) - 1, 0) + 1))
+                        AS INTEGER) AS frame_idx
+            FROM documents
+        """,
+        # --- event-time windows ---
+        "window_tumbling": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "window_sliding": """
+            WITH buckets AS (
+              SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+                     event_type, value FROM events
+              UNION ALL
+              SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+                     event_type, value FROM events
+            )
+            SELECT window_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM buckets GROUP BY 1, 2
+        """,
+        "session_windows": """
+            WITH marked AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER w < INTERVAL '10 minutes'
+                          THEN 0 ELSE 1 END AS brk
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            grouped AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS grp
+              FROM marked
+            )
+            SELECT MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL '10 minutes' AS session_end,
+                   user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM grouped GROUP BY user_id, grp
+        """,
+        # --- relational extras ---
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """,
+        "pivot_agg": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN l_linestatus = 'O'
+                       THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS "O",
+                   CAST(SUM(CASE WHEN l_linestatus = 'F'
+                       THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE) AS "F"
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "set_ops": """
+            SELECT DISTINCT o_custkey FROM (
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            )
+        """,
+        "analytic_window": """
+            SELECT event_id, user_id,
+                   CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                     AS running_value,
+                   LAG(event_type) OVER w AS prev_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
     }

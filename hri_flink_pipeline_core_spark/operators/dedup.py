@@ -1,0 +1,225 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of each algorithm):
+
+- exact:      one hash-aggregate shuffle on a 16-byte key. O(N).
+- minhash+LSH: per-row signature (no shuffle), then ONE shuffle on
+  (band_idx, band_hash) buckets; candidate pairs only ever materialize
+  within a bucket, never N². Bucket skew (a degenerate band value) is
+  the classic failure mode -> cap bucket size with a count filter.
+- simhash:    per-row 60-bit signature, bucket on 15-bit chunks
+  (pigeonhole: hamming<=3 over 4 chunks => >=1 chunk identical), verify
+  with bit_count(xor). Same one-shuffle shape as LSH.
+- n-gram Jaccard: exact verification on candidate pairs (array_intersect /
+  array_union on distinct shingle sets) — only run AFTER a bucketing
+  stage bounded the pair count.
+- embedding cosine: brute-force is the correctness baseline (exact; fine
+  up to ~10^5 x 10^5 per bucket); the scale path is random-hyperplane LSH
+  (see similarity.py) feeding the same verifier.
+
+All hashing is md5-based (hash32/hash60 in text.py) so every stage has an
+exact DuckDB oracle. Permutation constants come from a fixed seed and are
+embedded identically in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import HASH_P, hash32, hash60, normalized_md5, shingles, tokens
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+_SEED = 42
+
+
+def _perm_constants(num_hashes: int = NUM_HASHES, seed: int = _SEED):
+    """(a_i, b_i) for h_i(x) = (a_i * x + b_i) mod HASH_P — reproducible,
+    embedded verbatim in the DuckDB oracle."""
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, HASH_P), rng.randrange(0, HASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
+PERMS = _perm_constants()
+
+
+def dedup_exact_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text: one row per distinct content, the
+    minimum id as canonical representative + duplicate count."""
+    return (
+        df.withColumn("content_key", normalized_md5(F.col(text_col)))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def minhash_signature(text: Column, k: int = 5, perms=PERMS) -> Column:
+    """MinHash signature as array<bigint>, fully per-row: shingle ->
+    hash32 -> min over each permutation. No explode, no shuffle."""
+    sh_hashes = F.transform(shingles(text, k), hash32)
+    sig = [
+        F.array_min(
+            F.transform(sh_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_P))
+        )
+        for (a, b) in perms
+    ]
+    return F.array(*sig)
+
+
+def minhash_bands(sig: Column, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> list[Column]:
+    """LSH band keys: md5 of the concatenated signature slice."""
+    out = []
+    for b in range(bands):
+        slice_cols = [F.get(sig, b * rows + r).cast("string") for r in range(rows)]
+        out.append(F.md5(F.concat_ws(",", *slice_cols)))
+    return out
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash LSH: one shuffle on
+    (band, band_hash); pairs generated inside buckets only; bucket size
+    capped at ``max_bucket`` (skew guard — a pathological band value
+    would otherwise quadratically explode one task)."""
+    sig = minhash_signature(F.col(text_col), k)
+    banded = df.select(
+        F.col(id_col).alias("doc_id"), sig.alias("sig")
+    )
+    band_cols = minhash_bands(F.col("sig"))
+    exploded = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), c.alias("bucket"))
+                    for i, c in enumerate(band_cols)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    # skew guard: drop degenerate buckets
+    sized = exploded.withColumn(
+        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bucket_size") <= max_bucket)
+    a = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs over distinct
+    k-shingle sets. Joins the (small) candidate set back to the corpus
+    twice; integer set sizes -> exact double ratio, cross-engine safe."""
+    sets_df = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    left = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    right = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(left, "doc_a").join(right, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter / F.greatest(union, F.lit(1))
+    return (
+        joined.select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(text: Column, bits: int = 60) -> Column:
+    """SimHash over distinct whitespace tokens: per-bit majority vote of
+    60-bit token hashes, reassembled into a BIGINT. Pure expressions —
+    the 60 per-bit fold terms stay inside one codegen stage."""
+    tok_hashes = F.transform(F.array_distinct(tokens(text)), hash60)
+    acc = F.lit(0).cast("bigint")
+    for i in range(bits):
+        vote = F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda a, h: a
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        acc = acc + F.when(vote > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return acc
+
+
+def simhash_chunks(sh: Column, n_chunks: int = 4, chunk_bits: int = 15) -> list[Column]:
+    mask = (1 << chunk_bits) - 1
+    return [
+        F.shiftright(sh, i * chunk_bits).bitwiseAND(F.lit(mask)) for i in range(n_chunks)
+    ]
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= 3: pigeonhole bucketing on
+    4 x 15-bit chunks (one shuffle), then exact bit_count(xor) verify."""
+    based = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sh"))
+    chunks = simhash_chunks(F.col("sh"))
+    exploded = based.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("chunk_idx"), c.alias("chunk"))
+                    for i, c in enumerate(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "sh", "cc.chunk_idx", "cc.chunk")
+    a = exploded.select(
+        "chunk_idx", "chunk", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    b = exploded.select(
+        "chunk_idx", "chunk", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

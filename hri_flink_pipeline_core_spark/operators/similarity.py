@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100-TB ANN pipeline needs:
+
+- **Brute-force cosine top-k** — the exact baseline. Queries broadcast
+  (small side), corpus streamed; the cross product never shuffles the
+  corpus, and per-pair math is a single fold expression inside codegen.
+  Exact-but-O(Q*N): right whenever Q*N pairs fit the cluster, and the
+  recall oracle for everything below.
+- **Random-hyperplane LSH** — the scale path. Per-row signature (sign
+  bits of dot(v, h_j)), bucket on the signature, search only inside the
+  bucket. One shuffle on bucket key; recall/probe tradeoff via fewer
+  signature bits or multi-probe.
+- **IVF-style coarse quantization** — centroids from a groupBy avg (here
+  the provided ``label`` plays the coarse cluster id), query probes the
+  nearest centroid(s), then exact-searches just those partitions.
+
+Float discipline: all dot/norm folds are `aggregate` left-folds over
+`cast(x as double)` — bit-identical to DuckDB's `list_reduce` (verified),
+so cosine values need no rounding for oracle comparison.
+
+Hyperplane constants are seeded pseudo-random and embedded verbatim in
+the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .relational import top_k_per_key
+
+_SEED = 1337
+DEFAULT_DIM = 64
+DEFAULT_PLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold dot product in double (index order, codegen'd)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def ann_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-match excluded).
+    Queries are broadcast; corpus is scanned once, never shuffled until
+    the final per-query top-k (tiny)."""
+    # Norms are computed once per side BEFORE the join — O(Q+N) folds
+    # instead of O(Q*N); only the dot product runs per pair.
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "cosine"
+        ),
+    )
+    return top_k_per_key(
+        scored,
+        ["query_id"],
+        F.struct(F.col("cosine"), F.col("neighbor_id")),
+        k,
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold. Optional
+    blocking column bounds the pair blow-up (at scale, block = LSH bucket
+    from hyperplane_signature; at test scale, brute force)."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        norm(F.col(vec_col)).alias("norm_a"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        norm(F.col(vec_col)).alias("norm_b"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    joined = a.join(b, on=[block_col] if block_col else None, how="inner") if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_constants(
+    dim: int = DEFAULT_DIM, planes: int = DEFAULT_PLANES, seed: int = _SEED
+) -> list[list[float]]:
+    """Seeded pseudo-random hyperplanes, embedded verbatim in oracle SQL.
+    Components are +/-1 quantized so dot-product sign is robust and the
+    SQL literal stays small."""
+    rng = random.Random(seed)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(dim)]
+        for _ in range(planes)
+    ]
+
+
+HYPERPLANES = hyperplane_constants()
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]] | None = None) -> Column:
+    """LSH bucket id: integer whose bit j = sign(dot(vec, plane_j)).
+    Pure per-row expressions; at scale this is the shuffle key that
+    replaces the N^2 cross join."""
+    planes = planes or HYPERPLANES
+    acc = F.lit(0).cast("bigint")
+    for j, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in plane]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda a, v: a + v,
+        )
+        acc = acc + F.when(d > 0, F.lit(2**j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return acc
+
+
+def lsh_bucket_counts(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Bucket histogram for the hyperplane signature — the observable
+    used to verify the LSH stage against the oracle."""
+    return (
+        df.select(hyperplane_signature(F.col(vec_col)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def ivf_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = DEFAULT_DIM
+) -> DataFrame:
+    """IVF coarse centroids: element-wise mean per cluster label.
+
+    Decimal-exact accumulation per dimension (posexplode -> sum of
+    decimal), so the centroid doubles are identical cross-engine. One
+    shuffle of N*dim skinny rows — at 100 TB you'd sample instead; the
+    operator shape is the same."""
+    exploded = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim_idx", "val"),
+    )
+    sums = exploded.groupBy("label", "dim_idx").agg(
+        (
+            F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    return (
+        sums.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("mean_val")))
+                ),
+                lambda s: s["mean_val"],
+            ).alias("centroid")
+        )
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(north-star surface beyond the reference; BASELINE.json).
+
+Everything here is pure Column expressions — per-row, JVM-side, inside
+whole-stage codegen, no shuffle, no Python. At 100 TB these run at scan
+speed with full column pruning; the only shuffles are in the downstream
+groupBys (dedup buckets), never here.
+
+Cross-engine determinism: hashing is md5-based (identical bytes->hex in
+Spark and DuckDB) folded to int via base-16 digit fold, so every operator
+has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 30-bit modulus for permutation hashing: a*h+b stays < 2^62 (no int64
+# overflow under ANSI mode) with h < 2^32 and a < 2^30.
+HASH_P = 1_073_741_789  # largest prime < 2^30
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
+# (a simplification of the GPT-2 pre-tokenize regex, expressible in both
+# Spark and DuckDB regex dialects).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = (
+    "the a an of to and in is it for on with as at by that this".split()
+)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens, empty strings removed."""
+    return F.filter(F.split(text, TOKEN_SPLIT_RE), lambda t: t != F.lit(""))
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def hash32(s: Column) -> Column:
+    """Deterministic 32-bit-range hash of a string via md5 — identical in
+    DuckDB via the base-16 digit fold (see tests/oracle SQL)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def hash60(s: Column) -> Column:
+    """60-bit md5-prefix hash (for fingerprints / simhash bit source)."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Word k-gram shingles as an array<string> — built by index
+    transform over the token array (per-row, no explode/shuffle)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    join_k = lambda i: F.concat_ws(
+        " ", *[F.get(toks, i + off) for off in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, join_k)).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band, punctuation
+    ratio, stopword ratio, mean token length. All-integer/regex derived
+    -> exact cross-engine."""
+    n_chars = F.length(text)
+    n_tok = token_count_ws(text)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+    n_stop = F.size(
+        F.filter(tokens(text), lambda t: F.lower(t).isin([*STOPWORDS]))
+    )
+    len_ok = (n_chars >= 100) & (n_chars <= 20000)
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+    mean_tok_len = n_chars / F.greatest(n_tok, F.lit(1))
+    tok_len_ok = (mean_tok_len >= 3) & (mean_tok_len <= 12)
+    return (
+        F.when(len_ok, 0.25).otherwise(0.0)
+        + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+        + F.when(stop_ratio >= 0.05, 0.25).otherwise(0.0)
+        + F.when(tok_len_ok, 0.25).otherwise(0.0)
+    )
+
+
+# language-ID: character-class evidence first (scripts), then stopword
+# vote with deterministic tiebreak order.
+_LANG_MARKERS = {
+    "en": "the and of to is in it you that was".split(),
+    "es": "el la de que y en un los del se".split(),
+    "fr": "le la de et les des en du un une".split(),
+    "de": "der die und das den von zu mit sich des".split(),
+}
+_LANG_ORDER = ("en", "es", "fr", "de")
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: CJK script ratio -> 'zh'; else the language
+    whose marker-word hit count is highest (ties resolved in _LANG_ORDER);
+    no hits at all -> 'und'."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    n_cjk = F.size(F.regexp_extract_all(text, F.lit(r"[\x{4e00}-\x{9fff}]"), 0))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*[scores[lang] for lang in _LANG_ORDER])
+    decision = F.lit("und")
+    for lang in reversed(_LANG_ORDER):
+        decision = F.when(
+            (best > 0) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(decision)
+    return F.when(
+        n_cjk * 10 > F.length(text), F.lit("zh")
+    ).otherwise(decision)
+
+
+def fingerprint(text: Column, k: int = 5) -> Column:
+    """Document fingerprint: minimum shingle hash (bottom-1 sketch of the
+    k-shingle set — equal fingerprints => likely near-identical prefix
+    content). Content-defined, order-invariant to distributed layout."""
+    return F.array_min(F.transform(shingles(text, k), hash32))
+
+
+def normalized_md5(text: Column) -> Column:
+    """Exact-dup key: md5 of lowercased, whitespace-collapsed text."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))

@@ -1,0 +1,87 @@
+"""Event-time windowed aggregation (north-star streaming extras).
+
+The same DataFrame code runs in batch and Structured Streaming (with
+``withWatermark`` bounding state in the streaming case — see
+streaming/validation_job.py). Batch mode is what the DuckDB oracle
+checks; the reference itself has NO event-time windows (SURVEY §2,
+explicit non-feature), so these generalize it.
+
+Scale: tumbling/sliding windows are plain groupBy shuffles on
+(window, key) — partial aggregation applies, so the shuffle is
+O(#windows x #keys x #tasks). Session windows shuffle on the key then
+merge sessions within the partition (Spark's session_window does the
+merge natively)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dsum(col: Column) -> Column:
+    """Decimal-exact double sum (order-independent, cross-engine)."""
+    return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+
+def tumbling(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    win = F.window(F.col(ts_col), duration)
+    return (
+        df.groupBy(win, *keys)
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col(value_col)).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    win = F.window(F.col(ts_col), duration, slide)
+    return (
+        df.groupBy(win, *keys)
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col(value_col)).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Session windows: merge events within ``gap`` of each other per key;
+    session end = last event + gap (Spark session_window semantics)."""
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        df.groupBy(win, *keys)
+        .agg(F.count(F.lit(1)).alias("n"), dsum(F.col(value_col)).alias("sum_value"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *keys,
+            "n",
+            "sum_value",
+        )
+    )

@@ -1,0 +1,310 @@
+"""DuckDB oracle-SQL generators for the training-data operators.
+
+Each generator reproduces EXACTLY the math of the corresponding Spark
+operator (same md5-based hashing, same permutation/hyperplane constants,
+same fold order — verified bit-identical), so the driver's value-hash
+comparison is meaningful for non-trivial pipelines like MinHash LSH.
+"""
+
+from __future__ import annotations
+
+from ..operators.dedup import BANDS, NUM_HASHES, PERMS, ROWS_PER_BAND
+from ..operators.similarity import HYPERPLANES
+from ..operators.text import (
+    BPE_TOKEN_RE,
+    HASH_P,
+    STOPWORDS,
+    TOKEN_SPLIT_RE,
+    _LANG_MARKERS,
+    _LANG_ORDER,
+)
+
+
+def hexfold(expr: str, nchars: int) -> str:
+    """md5-prefix -> BIGINT, identical to Spark's conv(substr(md5,..),16,10)."""
+    return (
+        "list_reduce(list_transform(string_split(substr(md5("
+        + expr
+        + f"),1,{nchars}),''),"
+        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+    )
+
+
+def hash32(expr: str) -> str:
+    return hexfold(expr, 8)
+
+
+def hash60(expr: str) -> str:
+    return hexfold(expr, 15)
+
+
+def tokens(expr: str) -> str:
+    return f"list_filter(regexp_split_to_array({expr}, '{TOKEN_SPLIT_RE}'), t -> t <> '')"
+
+
+def shingles(toks: str, k: int = 5) -> str:
+    """Word k-grams from a token list (1-based list indexing in DuckDB)."""
+    parts = " || ' ' || ".join(f"{toks}[i+{j}]" for j in range(1, k + 1))
+    return f"""CASE
+      WHEN len({toks}) >= {k} THEN
+        list_transform(range(0, len({toks}) - {k} + 1), i -> {parts})
+      WHEN len({toks}) > 0 THEN [array_to_string({toks}, ' ')]
+      ELSE []::VARCHAR[] END"""
+
+
+def minhash_sig(hashes: str) -> str:
+    """array of NUM_HASHES minima over the (a*h+b) % P permutations."""
+    mins = ",\n      ".join(
+        f"list_min(list_transform({hashes}, h -> ({a}::BIGINT * h + {b}::BIGINT) % {HASH_P}))"
+        for (a, b) in PERMS
+    )
+    return f"[{mins}]"
+
+
+def band_bucket(sig: str, band: int) -> str:
+    cols = " || ',' || ".join(
+        f"CAST({sig}[{band * ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)
+    )
+    return f"md5({cols})"
+
+
+def lsh_banded_cte(max_bucket: int = 64) -> str:
+    """CTEs: documents -> per-doc signature -> (doc_id, band, bucket),
+    degenerate buckets dropped (same cap as the Spark operator)."""
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, {band_bucket('sig', b)} AS bucket FROM sigs"
+        for b in range(BANDS)
+    )
+    return f"""
+    toks AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
+    sh AS (SELECT doc_id, {shingles('t')} AS s FROM toks),
+    hs AS (SELECT doc_id, list_transform(s, x -> {hash32('x')}) AS hh FROM sh),
+    sigs AS (SELECT doc_id, {minhash_sig('hh')} AS sig FROM hs),
+    banded AS (
+      {band_selects}
+    ),
+    capped AS (
+      SELECT * FROM banded
+      QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {max_bucket}
+    )"""
+
+
+def minhash_lsh_pairs_sql(max_bucket: int = 64) -> str:
+    return f"""
+    WITH {lsh_banded_cte(max_bucket)}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM capped a JOIN capped b USING (band, bucket)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.5, max_bucket: int = 64) -> str:
+    return f"""
+    WITH {lsh_banded_cte(max_bucket)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(s) AS ds FROM sh)
+    SELECT doc_a, doc_b,
+           len(list_intersect(x.ds, y.ds))
+             / greatest(len(list_distinct(list_concat(x.ds, y.ds))), 1) AS jaccard
+    FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+              JOIN sets y ON cand.doc_b = y.doc_id
+    WHERE len(list_intersect(x.ds, y.ds))
+            / greatest(len(list_distinct(list_concat(x.ds, y.ds))), 1) >= {threshold}
+    """
+
+
+def simhash_sql_expr(hashes: str, bits: int = 60) -> str:
+    terms = []
+    for i in range(bits):
+        vote = (
+            f"list_sum(list_transform({hashes}, h -> "
+            f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN {vote} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END")
+    return "(" + "\n      + ".join(terms) + ")"
+
+
+def simhash_pairs_sql(max_hamming: int = 3, n_chunks: int = 4, chunk_bits: int = 15) -> str:
+    mask = (1 << chunk_bits) - 1
+    chunk_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, sh, {i} AS chunk_idx, (sh >> {i * chunk_bits}) & {mask} AS chunk FROM sims"
+        for i in range(n_chunks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_distinct({tokens('text')}), t -> {hash60('t')}) AS hh
+      FROM documents
+    ),
+    sims AS (SELECT doc_id, {simhash_sql_expr('hh')} AS sh FROM toks),
+    chunks AS (
+      {chunk_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM chunks a JOIN chunks b USING (chunk_idx, chunk)
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+# --- embeddings --------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x,y) -> x+y)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_transform({a}, v -> CAST(v AS DOUBLE)*CAST(v AS DOUBLE)),"
+    " (x,y) -> x+y))"
+)
+
+
+def dot_sql(a: str, b: str) -> str:
+    return _DOT.format(a=a, b=b)
+
+
+def norm_sql(a: str) -> str:
+    return _NORM.format(a=a)
+
+
+def ann_topk_sql(k: int = 5, n_queries: int = 20) -> str:
+    return f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM normed q, normed c
+      WHERE q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id DESC) AS rn
+          FROM pairs)
+    WHERE rn <= {k}
+    """
+
+
+def cosine_neardup_sql(threshold: float) -> str:
+    return f"""
+    WITH normed AS (
+      SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+    FROM normed a, normed b
+    WHERE a.vec_id < b.vec_id
+      AND {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {threshold}
+    """
+
+
+def hyperplane_sig_sql(vec: str) -> str:
+    terms = []
+    for j, plane in enumerate(HYPERPLANES):
+        arr = "[" + ",".join(f"{w:.1f}" for w in plane) + "]"
+        d = (
+            f"list_reduce(list_transform(list_zip({vec}, {arr}),"
+            " p -> CAST(p[1] AS DOUBLE) * p[2]), (x,y) -> x+y)"
+        )
+        terms.append(f"CASE WHEN {d} > 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_bucket_counts_sql() -> str:
+    return f"""
+    SELECT {hyperplane_sig_sql('embedding')} AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM embeddings GROUP BY 1
+    """
+
+
+def ivf_centroids_sql() -> str:
+    return """
+    SELECT label, i - 1 AS dim_idx,
+           CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e10 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1e10 / COUNT(*) AS mean_val
+    FROM embeddings CROSS JOIN UNNEST(range(1, 65)) AS t(i)
+    GROUP BY label, i
+    """
+
+
+# --- text analysis -----------------------------------------------------------
+
+def text_stats_sql() -> str:
+    toks = tokens("text")
+    stop_list = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {toks} AS toks,
+             length(text) AS nch,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS npunct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INTEGER)
+             AS n_tokens_bpe,
+           CAST(CASE WHEN nch >= 100 AND nch <= 20000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN npunct / greatest(nch, 1) <= 0.2 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN len(list_filter(toks, x -> list_contains({stop_list}, lower(x))))
+                     / greatest(len(toks), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN nch / greatest(len(toks), 1) >= 3
+                    AND nch / greatest(len(toks), 1) <= 12 THEN 0.25 ELSE 0.0 END
+             AS DOUBLE) AS quality
+    FROM t
+    """
+
+
+def fingerprint_sql() -> str:
+    toks = tokens("text")
+    return f"""
+    WITH t AS (SELECT doc_id, text, {toks} AS tk FROM documents),
+    s AS (SELECT doc_id, text, {shingles('tk')} AS sh FROM t)
+    SELECT doc_id,
+           list_min(list_transform(sh, x -> {hash32('x')})) AS fingerprint,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key
+    FROM s
+    """
+
+
+def lang_id_sql() -> str:
+    toks = tokens("text")
+    score = {
+        lang: (
+            "len(list_filter(toks, t -> list_contains(["
+            + ",".join(f"'{w}'" for w in markers)
+            + "], lower(t))))"
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(score[lang] for lang in _LANG_ORDER) + ")"
+    cases = "\n        ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in _LANG_ORDER
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, text, {toks} AS toks FROM documents)
+    SELECT doc_id,
+      CASE
+        WHEN len(regexp_extract_all(text, '[\\x{{4e00}}-\\x{{9fff}}]')) * 10
+             > length(text) THEN 'zh'
+        WHEN {best} = 0 THEN 'und'
+        {cases}
+        ELSE 'und'
+      END AS lang_detected
+    FROM t
+    """
+
+
+def dedup_exact_sql() -> str:
+    return """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+           MIN(doc_id) AS canonical_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM documents GROUP BY 1
+    """

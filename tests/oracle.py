@@ -37,7 +37,8 @@ def _values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-9)
+        # exact: the driver hash-compares values, so we must too
+        return a == b
     try:
         if pd.isna(a) and pd.isna(b):
             return True
