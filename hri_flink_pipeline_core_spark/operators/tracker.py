@@ -87,12 +87,15 @@ class BatchTrackerState:
     # --- predicates (Tracker.scala:129-162) --------------------------------
     def _too_many_invalid(self) -> bool:
         n = self.notification
+        if n is None:
+            return False
+        threshold = n.get("invalidThreshold")
         return (
-            n is not None
-            and (n.get("invalidThreshold") or -1) > -1
+            threshold is not None
+            and threshold > -1
             and n.get("status") != Status.TERMINATED
             and not self.is_finished
-            and self.invalid == n["invalidThreshold"]
+            and self.invalid == threshold
         )
 
     def _is_complete(self) -> bool:
@@ -142,7 +145,9 @@ class BatchTrackerState:
             self._emit(
                 Status.FAILED,
                 fail_overflow_msg(
-                    n.get("id"), self.valid + self.invalid, n["expectedRecordCount"]
+                    n.get("id"),
+                    self.valid + self.invalid,
+                    n.get("expectedRecordCount") or 0,
                 ),
             )
 
@@ -228,7 +233,9 @@ class BatchTrackerState:
                 self._emit(
                     Status.FAILED,
                     fail_overflow_msg(
-                        n.get("id"), self.valid + self.invalid, n["expectedRecordCount"]
+                        n.get("id"),
+                        self.valid + self.invalid,
+                        n.get("expectedRecordCount") or 0,
                     ),
                 )
             tail = is_valid[fire_idx + 1 :]

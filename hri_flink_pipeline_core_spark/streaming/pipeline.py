@@ -1,0 +1,238 @@
+"""The end-to-end validation pipeline (BaseValidationJob.scala:148-220,
+re-expressed as Structured Streaming queries).
+
+Reference graph -> Spark mapping:
+
+1. notification source --broadcast--> every validator instance
+     => a *compacted notification dim*: a tiny streaming query folds the
+     notification stream into a latest-per-batchId parquet dim
+     (versioned dirs + _LATEST pointer for atomic swap); each record
+     micro-batch broadcast-joins the current dim. Micro-batching removes
+     the reference's metadata/data race (SURVEY.md §3 EP-1.4): a record
+     batch always sees *all* notifications compacted so far, and a
+     too-early record routes to invalid exactly like the reference's
+     unknown-batchId rule (or triggers the injectable BatchLookup,
+     mirroring ValidationProcessFunction.scala:161-169).
+
+2. data source -> ValidationProcessFunction (3 outputs)
+     => one foreachBatch: persist the annotated batch once, then write
+     the three filtered projections (valid / invalid / counts) — DAG
+     reuse replacing Flink side outputs (BaseValidationJob.scala:174-217).
+
+3. counts ∪ notifications -> keyed Tracker -> terminal notifications
+     => streaming_tracker (applyInPandasWithState) over the tagged
+     union, terminal output to the notification loopback sink and/or the
+     Mgmt-API HTTP sink.
+
+Delivery semantics: Spark checkpointing gives exactly-once *state* and
+at-least-once *sink* writes; every valid record carries its source
+(topic, partition, offset) identity so replayed writes are idempotently
+dedupable downstream — the contract the reference gets from Kafka
+transactions (BaseValidationJob.scala:252-259) is met by idempotence
+instead (SURVEY.md §4, "exactly-once" row). File sinks via foreachBatch
+write to per-micro-batch subdirectories keyed by batch_id, which makes
+replays overwrite rather than duplicate.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.tracker import DEFAULT_TIMEOUT_MS
+from ..operators.validation import (
+    ValidationOutputs,
+    Validator,
+    latest_notifications,
+    validate_records,
+)
+from ..schemas import BATCH_NOTIFICATION_SCHEMA
+from .tracker_stream import streaming_tracker, tag_counts, tag_notifications
+
+# A sink is any callable taking the (already shaped) micro-batch DataFrame
+# and the micro-batch id.
+BatchSink = Callable[[DataFrame, int], None]
+
+
+# --------------------------------------------------------------------------
+# Compacted notification dim (broadcast-state replacement)
+# --------------------------------------------------------------------------
+
+class NotificationDim:
+    """Latest-per-batchId notification table, atomically versioned.
+
+    Equivalent of the broadcast map state (BaseValidationJob.scala:291-295,
+    ValidationProcessFunction.scala:215-224): writers fold each
+    notification micro-batch into a full rewrite (the dim is one row per
+    batch — tiny by construction), readers always see a consistent
+    snapshot via the _LATEST pointer file."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _latest_path(self) -> Optional[str]:
+        p = os.path.join(self.root, "_LATEST")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            v = f.read().strip()
+        return os.path.join(self.root, v) if v else None
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        path = self._latest_path()
+        if path is None:
+            return spark.createDataFrame([], BATCH_NOTIFICATION_SCHEMA).withColumn(
+                "offset", F.lit(None).cast("long")
+            )
+        return spark.read.parquet(path)
+
+    def merge(self, notif_batch: DataFrame, batch_id: int) -> None:
+        """foreachBatch body for the notification stream."""
+        spark = notif_batch.sparkSession
+        merged = latest_notifications(
+            self.read(spark).unionByName(notif_batch), "offset"
+        )
+        version = f"v{batch_id:020d}"
+        merged.write.mode("overwrite").parquet(os.path.join(self.root, version))
+        tmp = os.path.join(self.root, "_LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, os.path.join(self.root, "_LATEST"))
+
+    def writer(self) -> BatchSink:
+        return self.merge
+
+
+# --------------------------------------------------------------------------
+# Pipeline
+# --------------------------------------------------------------------------
+
+@dataclass
+class ValidationPipeline:
+    """Composable validation job. Sources/sinks are injected DataFrames /
+    callables (the reference's test constructor, BaseValidationJob.scala:
+    128-146); the Kafka wiring in cli.py builds them for production."""
+
+    spark: SparkSession
+    validator: Optional[Validator] = None
+    batch_completion_delay_ms: int = DEFAULT_TIMEOUT_MS
+    # streaming sources
+    records_stream: Optional[DataFrame] = None
+    notifications_stream: Optional[DataFrame] = None
+    # sinks (shaped DataFrames handed to callables per micro-batch)
+    valid_sink: Optional[BatchSink] = None
+    invalid_sink: Optional[BatchSink] = None
+    counts_sink: Optional[BatchSink] = None
+    notification_out_sink: Optional[BatchSink] = None  # tracker terminal
+    # state locations
+    workdir: str = "/tmp/hri-pipeline"
+    queries: list = field(default_factory=list)
+
+    # --- batch mode --------------------------------------------------------
+    def run_batch(
+        self, records: DataFrame, notifications: DataFrame
+    ) -> ValidationOutputs:
+        """One-shot batch validation (same DataFrame code the streaming
+        path runs per micro-batch)."""
+        return validate_records(records, notifications, self.validator)
+
+    # --- streaming mode ----------------------------------------------------
+    def _checkpoint(self, name: str) -> str:
+        return os.path.join(self.workdir, "checkpoints", name)
+
+    def start_notification_dim(self, trigger: Optional[dict] = None) -> "NotificationDim":
+        """Query 1: fold the notification stream into the compacted dim."""
+        dim = NotificationDim(os.path.join(self.workdir, "notification_dim"))
+        q = (
+            self.notifications_stream.writeStream.foreachBatch(dim.writer())
+            .option("checkpointLocation", self._checkpoint("notification_dim"))
+            .trigger(**(trigger or {"processingTime": "1 second"}))
+            .start()
+        )
+        self.queries.append(q)
+        return dim
+
+    def start_validation(
+        self, dim: NotificationDim, trigger: Optional[dict] = None
+    ):
+        """Query 2: validate each record micro-batch against the current
+        dim; fan out the three projections with one persist (DAG reuse —
+        the side-output replacement)."""
+
+        def process(batch_df: DataFrame, batch_id: int) -> None:
+            notif = dim.read(batch_df.sparkSession)
+            out = validate_records(
+                batch_df, notif, self.validator, notifications_pre_deduped=True
+            )
+            ann = out.annotated.persist()
+            try:
+                if self.valid_sink:
+                    self.valid_sink(out.valid, batch_id)
+                if self.invalid_sink:
+                    self.invalid_sink(out.invalid, batch_id)
+                if self.counts_sink:
+                    self.counts_sink(out.counts, batch_id)
+            finally:
+                ann.unpersist()
+
+        q = (
+            self.records_stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", self._checkpoint("validation"))
+            .trigger(**(trigger or {"processingTime": "1 second"}))
+            .start()
+        )
+        self.queries.append(q)
+        return q
+
+    def start_tracker(
+        self,
+        counts_stream: DataFrame,
+        notifications_stream: DataFrame,
+        trigger: Optional[dict] = None,
+    ):
+        """Query 3: counts ∪ notifications -> stateful tracker -> terminal
+        notification sink(s)."""
+        tagged = tag_counts(counts_stream, seq_col=None).unionByName(
+            tag_notifications(notifications_stream)
+        )
+        terminal = streaming_tracker(
+            tagged, timeout_ms=self.batch_completion_delay_ms
+        )
+
+        def emit(batch_df: DataFrame, batch_id: int) -> None:
+            if self.notification_out_sink:
+                self.notification_out_sink(batch_df, batch_id)
+
+        q = (
+            terminal.writeStream.foreachBatch(emit)
+            .option("checkpointLocation", self._checkpoint("tracker"))
+            .outputMode("append")
+            .trigger(**(trigger or {"processingTime": "1 second"}))
+            .start()
+        )
+        self.queries.append(q)
+        return q
+
+    def stop(self) -> None:
+        for q in self.queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        self.queries.clear()
+
+
+def parquet_dir_sink(root: str) -> BatchSink:
+    """Idempotent-on-replay file sink: each micro-batch writes (overwrite)
+    its own subdirectory, so a restarted query that replays batch N
+    rewrites rather than duplicates."""
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(root, f"batch={batch_id}"))
+
+    return write
