@@ -28,13 +28,20 @@ from hri_flink_pipeline_core_spark.plans import oracles as O
 from hri_flink_pipeline_core_spark.operators.tracker import track_batches_batch
 from hri_flink_pipeline_core_spark.operators.validation import validate_records
 from hri_flink_pipeline_core_spark.plans import testdata as TD
-from hri_flink_pipeline_core_spark.session import read_table, ts_ns
+from hri_flink_pipeline_core_spark.session import read_table, spread, ts_ns
 
 SF0001 = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
+
+
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Table for CPU-heavy per-row operators: spread across all cores
+    (single-file local scans otherwise run one task; no-op on multi-split
+    inputs)."""
+    return spread(read_table(spark, sf_dir, name))
 
 
 def _dsum(col) -> "F.Column":
@@ -70,7 +77,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-style aggregate (agg.count_by_key generalization)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _tp(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -195,7 +202,7 @@ def q_tracker_terminal(spark, sf_dir):
 # --- text analysis / dedup (training-data surface) -------------------------
 
 def q_text_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         TX.token_count_ws(F.col("text")).alias("n_tokens_ws"),
@@ -205,54 +212,50 @@ def q_text_stats(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_detected"))
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        TX.fingerprint(F.col("text")).alias("fingerprint"),
-        TX.normalized_md5(F.col("text")).alias("content_key"),
-    )
+    docs = _tp(spark, sf_dir, "documents")
+    return TX.doc_fingerprints(docs)
 
 
 def q_dedup_exact_text(spark, sf_dir):
-    return D.dedup_exact_text(_t(spark, sf_dir, "documents"))
+    return D.dedup_exact_text(_tp(spark, sf_dir, "documents"))
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    return D.minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+    return D.minhash_lsh_candidates(_tp(spark, sf_dir, "documents"))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     cands = D.minhash_lsh_candidates(docs)
     return D.ngram_jaccard_pairs(docs, cands, threshold=0.5)
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return D.simhash_neardup_pairs(_t(spark, sf_dir, "documents"))
+    return D.simhash_neardup_pairs(_tp(spark, sf_dir, "documents"))
 
 
 # --- embedding similarity ---------------------------------------------------
 
 def q_ann_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     return S.ann_topk_bruteforce(emb.filter(F.col("vec_id") < 20), emb, k=5)
 
 
 def q_cosine_neardup(spark, sf_dir):
-    return S.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+    return S.cosine_neardup_pairs(_tp(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 def q_lsh_bucket_counts(spark, sf_dir):
-    return S.lsh_bucket_counts(_t(spark, sf_dir, "embeddings"))
+    return S.lsh_bucket_counts(_tp(spark, sf_dir, "embeddings"))
 
 
 def q_ivf_centroids(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("dim_idx", "val")
     )
@@ -274,7 +277,7 @@ def q_media_blob_stats(spark, sf_dir):
 
 
 def q_media_decode_features(spark, sf_dir):
-    media = MM.media_from_documents(_t(spark, sf_dir, "documents"))
+    media = MM.media_from_documents(_tp(spark, sf_dir, "documents"))
     return MM.decode_features(media)
 
 
@@ -341,9 +344,35 @@ def q_analytic_window(spark, sf_dir):
     )
 
 
+def q_asof_latest_order(spark, sf_dir):
+    """As-of join: each event matched to the user's latest order at or
+    before the event time (ties on o_orderdate broken by max o_orderkey).
+    Union+window form — one sort per key, no pair materialization
+    (operators/asof.py)."""
+    from hri_flink_pipeline_core_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id"), F.col("ts")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        ev, orders,
+        keys=["user_id"], left_time="ts", right_time="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"], right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
+        "asof_latest_order": q_asof_latest_order,
         "filter_orders": q_filter_orders,
         "project_net_price": q_project_net_price,
         "join_broadcast_part": q_join_broadcast_part,
@@ -401,6 +430,17 @@ _DIM_SQL = """
 def oracle_sql() -> dict[str, str]:
     routed = TD.SQL_ROUTED_EVENTS
     return {
+        "asof_latest_order": """
+            SELECT e.event_id, e.user_id,
+                   o2.o_orderkey AS asof_orderkey,
+                   o2.o_totalprice AS asof_totalprice
+            FROM events e LEFT JOIN LATERAL (
+              SELECT o.o_orderkey, o.o_totalprice
+              FROM orders o
+              WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+              ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+            ) o2 ON true
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

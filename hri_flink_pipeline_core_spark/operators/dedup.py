@@ -30,7 +30,16 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import HASH_P, hash32, hash60, normalized_md5, shingles, tokens
+from .text import (
+    HASH_P,
+    hash32,
+    hash60,
+    normalized_md5,
+    shingle_hash_rows,
+    shingles,
+    token_hash_rows,
+    tokens,
+)
 
 NUM_HASHES = 16
 BANDS = 4
@@ -66,15 +75,28 @@ def dedup_exact_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 def minhash_signature(text: Column, k: int = 5, perms=PERMS) -> Column:
     """MinHash signature as array<bigint>, fully per-row: shingle ->
-    hash32 -> min over each permutation. No explode, no shuffle."""
+    hash32 -> min over each permutation. No explode, no shuffle.
+
+    Implemented as ONE aggregate fold so each shingle is md5-hashed
+    exactly once: the accumulator is the 16-slot running-min array and
+    every element updates all slots (16 int ops per shingle). The naive
+    form — 16 separate array_min(transform(...)) expressions — re-evaluates
+    the md5 array per permutation (16x the hashing; measured 230 s vs ~4 s
+    on 5k docs at sf0.1). Empty shingle set -> null signature slots, same
+    as array_min on an empty array."""
     sh_hashes = F.transform(shingles(text, k), hash32)
-    sig = [
-        F.array_min(
-            F.transform(sh_hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(HASH_P))
-        )
-        for (a, b) in perms
-    ]
-    return F.array(*sig)
+    a_arr = F.array(*[F.lit(a).cast("bigint") for (a, _) in perms])
+    b_arr = F.array(*[F.lit(b).cast("bigint") for (_, b) in perms])
+    init = F.array_repeat(F.lit(None).cast("bigint"), len(perms))
+    return F.aggregate(
+        sh_hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.zip_with(a_arr, b_arr, lambda a, b: (a * h + b) % F.lit(HASH_P)),
+            lambda cur, cand: F.least(F.coalesce(cur, cand), cand),
+        ),
+    )
 
 
 def minhash_bands(sig: Column, bands: int = BANDS, rows: int = ROWS_PER_BAND) -> list[Column]:
@@ -84,6 +106,46 @@ def minhash_bands(sig: Column, bands: int = BANDS, rows: int = ROWS_PER_BAND) ->
         slice_cols = [F.get(sig, b * rows + r).cast("string") for r in range(rows)]
         out.append(F.md5(F.concat_ws(",", *slice_cols)))
     return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    perms=PERMS,
+) -> DataFrame:
+    """(doc_id, sig) — MinHash signatures in the distributed shape:
+    explode to one row per shingle (md5 in whole-stage codegen), then 16
+    min() aggregates with map-side partial aggregation. Same values as
+    the per-row ``minhash_signature`` column; ~40x faster because no
+    interpreted lambdas. Docs with no tokens get a null signature
+    (left join), matching array_min over an empty array."""
+    rows = shingle_hash_rows(df, text_col, id_col, k)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"_m{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    sigs = rows.groupBy("doc_id").agg(*mins).select(
+        "doc_id", F.array(*[f"_m{i}" for i in range(len(perms))]).alias("sig")
+    )
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(sigs, "doc_id", "left")
+
+
+def cap_bucket_size(exploded: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Skew guard: drop buckets larger than ``max_bucket``. Oversized
+    buckets are by construction rare, so the blacklist is tiny ->
+    broadcast anti-join (one partial-agg shuffle of the count, no sort);
+    a windowed count would instead sort every partition of the full
+    exploded stream."""
+    big = (
+        exploded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket)
+        .select(*keys)
+    )
+    return exploded.join(F.broadcast(big), keys, "left_anti")
 
 
 def minhash_lsh_candidates(
@@ -97,10 +159,7 @@ def minhash_lsh_candidates(
     (band, band_hash); pairs generated inside buckets only; bucket size
     capped at ``max_bucket`` (skew guard — a pathological band value
     would otherwise quadratically explode one task)."""
-    sig = minhash_signature(F.col(text_col), k)
-    banded = df.select(
-        F.col(id_col).alias("doc_id"), sig.alias("sig")
-    )
+    banded = minhash_signatures(df, text_col, id_col, k)
     band_cols = minhash_bands(F.col("sig"))
     exploded = banded.select(
         "doc_id",
@@ -113,10 +172,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    # skew guard: drop degenerate buckets
-    sized = exploded.withColumn(
-        "bucket_size", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bucket_size") <= max_bucket)
+    sized = cap_bucket_size(exploded, ["band", "bucket"], max_bucket)
     a = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     b = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     return (
@@ -138,9 +194,20 @@ def ngram_jaccard_pairs(
     """Exact Jaccard verification of candidate pairs over distinct
     k-shingle sets. Joins the (small) candidate set back to the corpus
     twice; integer set sizes -> exact double ratio, cross-engine safe."""
-    sets_df = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    # shingle sets are expensive (interpreted transform) — build them only
+    # for docs that actually appear in a candidate pair (tiny set after
+    # LSH), via a broadcast semi-join on the bare id column
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets_df = (
+        df.join(F.broadcast(cand_ids), df[id_col] == cand_ids["doc_id"], "left_semi")
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+        )
     )
     left = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     right = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -160,21 +227,32 @@ def ngram_jaccard_pairs(
 
 def simhash(text: Column, bits: int = 60) -> Column:
     """SimHash over distinct whitespace tokens: per-bit majority vote of
-    60-bit token hashes, reassembled into a BIGINT. Pure expressions —
-    the 60 per-bit fold terms stay inside one codegen stage."""
+    60-bit token hashes, reassembled into a BIGINT.
+
+    ONE aggregate fold (accumulator = 60 vote counters, updated via a
+    power-of-two bitmask test per slot) so each token is md5-hashed
+    exactly once; the naive 60-separate-folds form recomputes the token
+    hash array per bit (60x the hashing)."""
     tok_hashes = F.transform(F.array_distinct(tokens(text)), hash60)
-    acc = F.lit(0).cast("bigint")
-    for i in range(bits):
-        vote = F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda a, h: a
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        acc = acc + F.when(vote > 0, F.lit(2**i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-    return acc
+    weights = F.array(*[F.lit(2**i).cast("bigint") for i in range(bits)])
+    votes = F.aggregate(
+        tok_hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            weights,
+            lambda a, w: a + F.when(h.bitwiseAND(w) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            weights,
+            lambda v, w: F.when(v > 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
 
 
 def simhash_chunks(sh: Column, n_chunks: int = 4, chunk_bits: int = 15) -> list[Column]:
@@ -182,6 +260,35 @@ def simhash_chunks(sh: Column, n_chunks: int = 4, chunk_bits: int = 15) -> list[
     return [
         F.shiftright(sh, i * chunk_bits).bitwiseAND(F.lit(mask)) for i in range(n_chunks)
     ]
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    """(doc_id, sh) — simhash in the distributed shape: explode to one
+    row per distinct token (md5 in codegen), 60 vote-sum aggregates with
+    map-side combine, then bit reassembly on the aggregated row. Same
+    values as the per-row ``simhash`` column. Docs with no tokens get
+    sh=0 (coalesce), matching the fold's zero accumulator."""
+    rows = token_hash_rows(df, text_col, id_col)
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(2**i).cast("bigint")) != 0, 1).otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ]
+    agged = rows.groupBy("doc_id").agg(*votes)
+    sh = None
+    for i in range(bits):
+        term = F.when(F.col(f"_v{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sh = term if sh is None else sh + term
+    sigs = agged.select("doc_id", sh.alias("sh"))
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(sigs, "doc_id", "left").select(
+        "doc_id", F.coalesce("sh", F.lit(0).cast("bigint")).alias("sh")
+    )
 
 
 def simhash_neardup_pairs(
@@ -192,7 +299,7 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3: pigeonhole bucketing on
     4 x 15-bit chunks (one shuffle), then exact bit_count(xor) verify."""
-    based = df.select(F.col(id_col).alias("doc_id"), simhash(F.col(text_col)).alias("sh"))
+    based = simhash_table(df, text_col, id_col)
     chunks = simhash_chunks(F.col("sh"))
     exploded = based.select(
         "doc_id",

@@ -171,11 +171,44 @@ def hyperplane_signature(vec: Column, planes: list[list[float]] | None = None) -
     return acc
 
 
-def lsh_bucket_counts(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def hyperplane_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """(id, bucket) — the distributed form of ``hyperplane_signature``:
+    posexplode the vector to (id, i, x) rows, then one groupBy with 8
+    codegen'd sum(x * plane_j[i]) aggregates (interpreted lambda folds
+    are ~40x slower). Exploded rows stay contiguous per id, so the
+    map-side partial sum accumulates in index order — bit-identical to
+    the sequential left-fold the oracle computes."""
+    planes = planes or HYPERPLANES
+    ex = df.select(
+        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("i", "x")
+    )
+    plane_lits = [F.array(*[F.lit(w) for w in plane]) for plane in planes]
+    dots = [
+        F.sum(F.col("x").cast("double") * F.get(pa, F.col("i"))).alias(f"_d{j}")
+        for j, pa in enumerate(plane_lits)
+    ]
+    agged = ex.groupBy("id").agg(*dots)
+    bucket = None
+    for j in range(len(planes)):
+        term = F.when(F.col(f"_d{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        bucket = term if bucket is None else bucket + term
+    return agged.select("id", bucket.alias("bucket"))
+
+
+def lsh_bucket_counts(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
     """Bucket histogram for the hyperplane signature — the observable
     used to verify the LSH stage against the oracle."""
     return (
-        df.select(hyperplane_signature(F.col(vec_col)).alias("bucket"))
+        hyperplane_signatures(df, vec_col, id_col)
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -137,3 +137,63 @@ def fingerprint(text: Column, k: int = 5) -> Column:
 def normalized_md5(text: Column) -> Column:
     """Exact-dup key: md5 of lowercased, whitespace-collapsed text."""
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+# --- distributed (explode + codegen) forms ---------------------------------
+# Spark evaluates higher-order-function lambdas (transform/aggregate) in
+# the INTERPRETED expression path — md5 inside a lambda runs ~40x slower
+# than the same md5 in a whole-stage-codegen projection. The row-per-
+# shingle forms below explode first so every hash runs codegen'd, then
+# partial-aggregate back to one row per document (map-side combine: the
+# shuffle carries O(docs) rows, not O(shingles)). This is also the shape
+# that scales: at 100 TB the explode output never materializes — it
+# streams through the agg inside one stage.
+
+def shingle_hash_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
+    """(doc_id, h) — one row per word-k-gram shingle, md5-hashed in
+    codegen. Shingle strings match ``shingles()`` exactly: n>=k -> n-k+1
+    k-grams; 0<n<k -> one shingle of all tokens (out-of-range gets are
+    null, concat_ws skips them); n==0 -> no rows (parity with the empty
+    array / null signature)."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    idx = base.select(
+        "doc_id",
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0)))
+        ).alias("_i"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.get(F.col("_toks"), F.col("_i") + F.lit(off)) for off in range(k)]
+    )
+    return idx.select("doc_id", hash32(shingle).alias("h"))
+
+
+def token_hash_rows(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, h) — one row per DISTINCT whitespace token, 60-bit
+    md5-hashed in codegen (simhash input)."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_t"),
+    )
+    return ex.select("doc_id", hash60(F.col("_t")).alias("h"))
+
+
+def doc_fingerprints(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
+    """(doc_id, fingerprint, content_key) — bottom-1 shingle-hash sketch +
+    exact-dup key, distributed form of ``fingerprint``/``normalized_md5``
+    (identical values)."""
+    fp = (
+        shingle_hash_rows(df, text_col, id_col, k)
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fingerprint"))
+    )
+    keys = df.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_md5(F.col(text_col)).alias("content_key"),
+    )
+    return keys.join(fp, "doc_id", "left").select(
+        "doc_id", "fingerprint", "content_key"
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..schemas import Status
-from ..session import read_table
+from ..session import read_table, spread
 
 N_BATCHES = 50
 KNOWN_BATCHES = 40  # batches >= this have no notification (unknown batchId)
@@ -36,7 +36,7 @@ _STATUS_CYCLE = (
 
 def hri_records_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> HRI_RECORD_SCHEMA-shaped DataFrame (pure expressions)."""
-    ev = read_table(spark, sf_dir, "events")
+    ev = spread(read_table(spark, sf_dir, "events"))
     batch_num = F.col("user_id") % N_BATCHES
     batch_id = F.concat(F.lit("batch-"), batch_num.cast("string"))
     payload = F.when(F.col("event_id") % 7 == 0, F.lit("not-json")).otherwise(

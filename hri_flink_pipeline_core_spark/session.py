@@ -96,3 +96,19 @@ def ts_ns(ts: str) -> int:
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> dict:
     """Read several testdata tables at once."""
     return {name: read_table(spark, sf_dir, name) for name in names}
+
+
+def spread(df, partitions: int | None = None):
+    """Round-robin repartition a narrow scan up to full parallelism.
+
+    A single small parquet file yields ONE input split, so every
+    CPU-heavy per-row operator downstream (md5 shingling, simhash votes,
+    cosine folds, pandas UDFs) would run on one core. Repartitioning
+    first costs one tiny shuffle and buys #cores-way parallelism. On a
+    real cluster the input arrives in many splits and this is a no-op:
+    it only repartitions when the scan is below the target."""
+    sc = df.sparkSession.sparkContext
+    target = partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
