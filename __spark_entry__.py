@@ -369,10 +369,55 @@ def q_asof_latest_order(spark, sf_dir):
     )
 
 
+def q_interval_join_anchor_windows(spark, sf_dir):
+    """Interval join: every 37th event opens a 6-hour window for its
+    user; all of that user's events inside the window attribute to it.
+    Bucketized equi-join form — no nested-loop (operators/interval.py)."""
+    from hri_flink_pipeline_core_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    ranges = ev.filter(F.col("event_id") % 37 == 0).select(
+        "user_id",
+        F.col("event_id").alias("anchor_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("win_end"),
+    )
+    joined = interval_join(
+        ev, ranges, keys=["user_id"], time_col="ts",
+        start_col="win_start", end_col="win_end",
+        bucket_seconds=6 * 3600,
+    )
+    return joined.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+    )
+
+
+def q_sink_table_roundtrip(spark, sf_dir):
+    """sink.table + source.table (SURVEY §2.16): write the invalid-record
+    envelopes to parquet, read them back, and aggregate — verifies the
+    sink preserves rows and values through a full write/read cycle."""
+    import os
+
+    from hri_flink_pipeline_core_spark.sources.files import write_table
+
+    out = _validation_outputs(spark, sf_dir)
+    path = f"/tmp/hri-sink-roundtrip-{os.path.basename(sf_dir.rstrip('/'))}"
+    write_table(out.invalid, path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("batchId").alias("n_batches"),
+        F.countDistinct("failure").alias("n_failure_kinds"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "asof_latest_order": q_asof_latest_order,
+        "interval_join_anchor_windows": q_interval_join_anchor_windows,
+        "sink_table_roundtrip": q_sink_table_roundtrip,
         "filter_orders": q_filter_orders,
         "project_net_price": q_project_net_price,
         "join_broadcast_part": q_join_broadcast_part,
@@ -440,6 +485,17 @@ def oracle_sql() -> dict[str, str]:
               WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
             ) o2 ON true
+        """,
+        "interval_join_anchor_windows": """
+            SELECT a.event_id AS anchor_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events a JOIN events e
+              ON e.user_id = a.user_id
+             AND e.ts >= a.ts
+             AND e.ts <= a.ts + INTERVAL 6 HOUR
+            WHERE a.event_id % 37 = 0
+            GROUP BY a.event_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -531,6 +587,19 @@ def oracle_sql() -> dict[str, str]:
             FROM ({routed}) r
             JOIN events e USING (event_id)
             WHERE r.route = 'invalid'
+        """,
+        "sink_table_roundtrip": f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT batch_id) AS BIGINT) AS n_batches,
+                   CAST(COUNT(DISTINCT
+                     CASE
+                       WHEN batch_id IS NULL THEN 'Bad Message - No header or batchId node'
+                       WHEN status IS NULL THEN 'Bad Message - Unknown batchId'
+                       WHEN status = 'completed' THEN 'Bad Message - batchId is already completed'
+                       ELSE 'Invalid JSON: unable to parse record value: '
+                            || COALESCE(SUBSTR(payload, 1, 120), '<null>')
+                     END) AS BIGINT) AS n_failure_kinds
+            FROM ({routed}) WHERE route = 'invalid'
         """,
         "tracker_terminal": f"""
             WITH counts AS (

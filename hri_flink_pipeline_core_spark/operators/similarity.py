@@ -214,6 +214,70 @@ def lsh_bucket_counts(
     )
 
 
+def ann_topk_blas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized brute-force top-k: the query matrix is collected and
+    broadcast (Q x dim floats — small side by definition), and each
+    corpus partition computes cosine blocks with one numpy matmul inside
+    ``mapInPandas`` (Arrow-batched, BLAS-backed — orders of magnitude
+    more FLOP/s than per-pair expression folds). Per-partition partial
+    top-k shrinks the shuffle to O(Q x k x partitions) rows before the
+    global top-k.
+
+    Float caveat: BLAS accumulates in a different order than the exact
+    left-fold in ``ann_topk_bruteforce``, so cosines differ in the last
+    ulp — ranking is identical except for exact ties. Use the fold
+    version when bit-exact cross-engine comparison matters.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(query_id, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows])
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    spark = queries.sparkSession
+    b_ids = spark.sparkContext.broadcast(q_ids)
+    b_mat = spark.sparkContext.broadcast(q_mat)
+    b_norm = spark.sparkContext.broadcast(q_norm)
+
+    def run(batches):
+        for pdf in batches:
+            ids = pdf[corpus_id].to_numpy()
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if len(c_mat) == 0:
+                continue
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (b_mat.value @ c_mat.T) / np.outer(b_norm.value, c_norm)
+            out_q, out_n, out_c = [], [], []
+            for qi in range(sims.shape[0]):
+                row = sims[qi]
+                mask = ids != b_ids.value[qi]  # exclude self-match
+                cand_idx = np.nonzero(mask)[0]
+                if len(cand_idx) == 0:
+                    continue
+                top = cand_idx[np.argsort(-row[cand_idx], kind="stable")[:k]]
+                out_q.extend([b_ids.value[qi]] * len(top))
+                out_n.extend(ids[top])
+                out_c.extend(row[top])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine": out_c}
+            )
+
+    partials = corpus.select(corpus_id, vec_col).mapInPandas(
+        run, schema="query_id long, neighbor_id long, cosine double"
+    )
+    return top_k_per_key(
+        partials, ["query_id"], F.struct(F.col("cosine"), F.col("neighbor_id")), k
+    )
+
+
 def ivf_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = DEFAULT_DIM
 ) -> DataFrame:

@@ -1,0 +1,95 @@
+"""Similarity operators: BLAS path vs exact fold, interval join unit
+scenarios."""
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from hri_flink_pipeline_core_spark.operators.interval import interval_join
+from hri_flink_pipeline_core_spark.operators.similarity import (
+    ann_topk_blas,
+    ann_topk_bruteforce,
+)
+from hri_flink_pipeline_core_spark.session import read_table
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_ann_blas_matches_bruteforce_ranking(spark):
+    emb = read_table(spark, SF001, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = ann_topk_bruteforce(q, emb, k=5)
+    blas = ann_topk_blas(q, emb, k=5)
+    ex = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    bl = {(r.query_id, r.neighbor_id) for r in blas.collect()}
+    # identical neighbor sets (ulp-level cosine differences can only
+    # reorder exact ties, which the test data does not contain)
+    assert ex == bl
+    # cosines agree to float tolerance
+    ex_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    for r in blas.collect():
+        assert abs(ex_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_interval_join_containment_and_bounds(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u", ts("2024-01-01T00:00:00")),  # == start -> in
+            (2, "u", ts("2024-01-01T03:00:00")),  # inside
+            (3, "u", ts("2024-01-01T06:00:00")),  # == end -> in
+            (4, "u", ts("2024-01-01T06:00:01")),  # after -> out
+            (5, "v", ts("2024-01-01T03:00:00")),  # wrong key -> out
+        ],
+        "id long, k string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", 100, ts("2024-01-01T00:00:00"), ts("2024-01-01T06:00:00"))],
+        "k string, rid long, s timestamp, e timestamp",
+    )
+    out = interval_join(
+        left, right, keys=["k"], time_col="t", start_col="s", end_col="e",
+        bucket_seconds=6 * 3600,
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def test_interval_join_overlapping_intervals_multi_match(spark):
+    left = spark.createDataFrame(
+        [(1, "u", ts("2024-01-01T02:00:00"))], "id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", 1, ts("2024-01-01T00:00:00"), ts("2024-01-01T04:00:00")),
+            ("u", 2, ts("2024-01-01T01:00:00"), ts("2024-01-01T03:00:00")),
+            ("u", 3, ts("2024-01-01T03:00:00"), ts("2024-01-01T05:00:00")),
+        ],
+        "k string, rid long, s timestamp, e timestamp",
+    )
+    out = interval_join(
+        left, right, keys=["k"], time_col="t", start_col="s", end_col="e",
+        bucket_seconds=4 * 3600,
+    )
+    assert sorted(r.rid for r in out.collect()) == [1, 2]
+
+
+def test_interval_join_crossing_bucket_boundary(spark):
+    # interval spans a bucket boundary: the explode must cover both
+    # buckets so a left row in the second bucket still matches
+    left = spark.createDataFrame(
+        [(1, "u", ts("2024-01-01T07:00:00"))], "id long, k string, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", 1, ts("2024-01-01T05:00:00"), ts("2024-01-01T08:00:00"))],
+        "k string, rid long, s timestamp, e timestamp",
+    )
+    out = interval_join(
+        left, right, keys=["k"], time_col="t", start_col="s", end_col="e",
+        bucket_seconds=6 * 3600,
+    )
+    assert [r.id for r in out.collect()] == [1]
