@@ -73,11 +73,18 @@ def notification_sink(notifications: DataFrame, topic: str) -> DataFrame:
     """Notification loopback sink rows (NotificationSerializer.scala:35-38,
     BaseValidationJob.scala:273-286): BatchNotification JSON value, keyed
     by batch id so the topic stays ordered per batch."""
-    cols = [c for c in notifications.columns if c != "offset"]
     id_col = "batchId" if "batchId" in notifications.columns else "id"
+    if "notification" in notifications.columns:
+        # tracker terminal output: the merged BatchNotification is already
+        # JSON (streaming/tracker_stream.py) — emit it verbatim so the
+        # loopback feeds a parseable notification back to the topic
+        value = F.encode(F.col("notification"), "UTF-8")
+    else:
+        cols = [c for c in notifications.columns if c != "offset"]
+        value = F.encode(F.to_json(F.struct(*cols)), "UTF-8")
     return notifications.select(
         F.encode(F.col(id_col).cast("string"), "UTF-8").alias("key"),
-        F.encode(F.to_json(F.struct(*cols)), "UTF-8").alias("value"),
+        value.alias("value"),
         F.lit(topic).alias("topic"),
     )
 

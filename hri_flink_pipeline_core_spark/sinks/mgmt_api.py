@@ -56,10 +56,34 @@ class FatalSinkError(Exception):
     """Unrecoverable sink failure (reference raises FlinkException)."""
 
 
+TRUSTSTORE_ENV = "HRI_TRUSTSTORE"  # MgmtClient.scala trustStoreEnv
+TRUSTSTORE_PASSWORD_ENV = "HRI_TRUSTSTORE_PASSWORD"
+
+
+def build_ssl_context():
+    """TLS context honoring the reference's truststore env vars
+    (MgmtClient.scala createHttpClient): unset -> default context;
+    HRI_TRUSTSTORE set -> use it as the CA bundle (PEM here, where the
+    JVM reference uses a JKS store — same contract, Python-native
+    format); set-but-missing file -> FileNotFoundError. The JKS password
+    has no PEM equivalent; if only the password is set the same
+    both-or-neither rule applies."""
+    import os
+    import ssl
+
+    path = os.environ.get(TRUSTSTORE_ENV)
+    if not path:
+        return ssl.create_default_context()
+    if not os.path.isfile(path):
+        raise FileNotFoundError(f"Not found or not a file: {path}")
+    return ssl.create_default_context(cafile=path)
+
+
 def _urllib_transport(method: str, url: str, headers: dict, body: Optional[bytes]):
+    ctx = build_ssl_context() if url.startswith("https") else None
     req = urllib.request.Request(url, data=body, headers=headers, method=method)
     try:
-        with urllib.request.urlopen(req) as resp:
+        with urllib.request.urlopen(req, context=ctx) as resp:
             return resp.status, resp.read()
     except urllib.error.HTTPError as e:  # non-2xx still carries a body
         return e.code, e.read()

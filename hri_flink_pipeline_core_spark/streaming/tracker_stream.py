@@ -88,8 +88,14 @@ STATE_SCHEMA = T.StructType(
 
 
 def tag_counts(counts: DataFrame, seq_col: Optional[str] = None) -> DataFrame:
-    """(batchId, isValid) -> tagged union rows."""
-    seq = F.col(seq_col).cast("long") if seq_col else F.monotonically_increasing_id()
+    """(batchId, isValid) -> tagged union rows. Without a seq column the
+    seq is NULL, which the per-group fold sorts LAST — notifications in
+    the same micro-batch are applied before unordered counts (the
+    reference's metadata-before-data design, BaseValidationJob.scala:79-81).
+    monotonically_increasing_id is not streaming-safe, so no default id."""
+    seq = (
+        F.col(seq_col).cast("long") if seq_col else F.lit(None).cast("long")
+    )
     return counts.select(
         F.col("batchId"),
         F.lit(KIND_COUNT).alias("kind"),

@@ -215,3 +215,21 @@ def test_sink_retries_5xx_then_succeeds():
     )
     actions = [r for r in t.requests if "/action/" in r[1]]
     assert len(actions) == 2
+
+
+# --- truststore env handling (MgmtClient.scala createHttpClient) -----------
+
+def test_ssl_context_default_when_unset(monkeypatch):
+    from hri_flink_pipeline_core_spark.sinks.mgmt_api import build_ssl_context
+
+    monkeypatch.delenv("HRI_TRUSTSTORE", raising=False)
+    ctx = build_ssl_context()
+    assert ctx is not None
+
+
+def test_ssl_context_missing_file_raises(monkeypatch):
+    from hri_flink_pipeline_core_spark.sinks.mgmt_api import build_ssl_context
+
+    monkeypatch.setenv("HRI_TRUSTSTORE", "/nonexistent/trust.pem")
+    with pytest.raises(FileNotFoundError, match="Not found or not a file"):
+        build_ssl_context()
