@@ -250,6 +250,12 @@ def q_cosine_neardup(spark, sf_dir):
     return S.cosine_neardup_pairs(_tp(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def q_cosine_neardup_lsh(spark, sf_dir):
+    """LSH-blocked near-dup (the scale path for cosine_neardup: equi-join
+    on the hyperplane bucket instead of an all-pairs cross join)."""
+    return S.cosine_neardup_lsh(_tp(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
 def q_lsh_bucket_counts(spark, sf_dir):
     return S.lsh_bucket_counts(_tp(spark, sf_dir, "embeddings"))
 
@@ -441,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "cosine_neardup": q_cosine_neardup,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "lsh_bucket_counts": q_lsh_bucket_counts,
         "ivf_centroids": q_ivf_centroids,
         "media_blob_stats": q_media_blob_stats,
@@ -656,6 +663,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": O.simhash_pairs_sql(),
         "ann_topk": O.ann_topk_sql(k=5, n_queries=20),
         "cosine_neardup": O.cosine_neardup_sql(threshold=0.4),
+        "cosine_neardup_lsh": O.cosine_neardup_lsh_sql(threshold=0.4),
         "lsh_bucket_counts": O.lsh_bucket_counts_sql(),
         "ivf_centroids": O.ivf_centroids_sql(),
         "media_blob_stats": """

@@ -214,6 +214,27 @@ def lsh_bucket_counts(
     )
 
 
+def cosine_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs restricted to the same hyperplane-LSH
+    bucket — the scale path: the all-pairs cross join becomes an
+    equi-join on the bucket key (one shuffle, pair count bounded by
+    bucket occupancy). Recall tradeoff: cross-bucket near-dups are
+    missed; add multi-probe (fewer signature bits) to raise recall."""
+    sigs = hyperplane_signatures(df, vec_col, id_col).withColumnRenamed(
+        "id", id_col
+    )
+    with_bucket = df.join(sigs, id_col)
+    return cosine_neardup_pairs(
+        with_bucket, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        block_col="bucket",
+    )
+
+
 def ann_topk_blas(
     queries: DataFrame,
     corpus: DataFrame,

@@ -224,6 +224,22 @@ def lsh_bucket_counts_sql() -> str:
     """
 
 
+def cosine_neardup_lsh_sql(threshold: float) -> str:
+    """LSH-blocked near-dup: pairs only within the same hyperplane
+    bucket (the scale path — identical blocking on both engines)."""
+    return f"""
+    WITH sig AS (
+      SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm,
+             {hyperplane_sig_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {threshold}
+    """
+
+
 def ivf_centroids_sql() -> str:
     return """
     SELECT label, i - 1 AS dim_idx,

@@ -93,3 +93,21 @@ def test_interval_join_crossing_bucket_boundary(spark):
         bucket_seconds=6 * 3600,
     )
     assert [r.id for r in out.collect()] == [1]
+
+
+def test_join_salted_matches_plain_join(spark):
+    from hri_flink_pipeline_core_spark.operators.relational import join_salted
+
+    left = spark.createDataFrame(
+        [(k, i) for k in ["hot", "cold"] for i in range(50 if k == "hot" else 2)],
+        "k string, v long",
+    )
+    right = spark.createDataFrame(
+        [("hot", 100), ("cold", 200), ("missing", 300)], "k string, w long"
+    )
+    salted = join_salted(left, right, "k", salt_buckets=4).collect()
+    plain = left.join(right, "k").collect()
+    assert sorted((r.k, r.v, r.w) for r in salted) == sorted(
+        (r.k, r.v, r.w) for r in plain
+    )
+    assert len(salted) == 52
