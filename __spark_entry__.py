@@ -260,6 +260,23 @@ def q_lsh_bucket_counts(spark, sf_dir):
     return S.lsh_bucket_counts(_tp(spark, sf_dir, "embeddings"))
 
 
+def q_ann_ivf_probe(spark, sf_dir):
+    """IVF probe ANN: assign each query to its nearest quantized-mean
+    centroid, exact-search only that cluster (operators/similarity.py
+    ann_ivf_probe). The scale path for ann_topk — Q x N/#clusters pairs."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    means = q_ivf_centroids(spark, sf_dir)
+    centroids = means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+    return S.ann_ivf_probe(
+        emb.filter(F.col("vec_id") < 20), emb, centroids, k=5
+    )
+
+
 def q_ivf_centroids(spark, sf_dir):
     emb = _tp(spark, sf_dir, "embeddings")
     exploded = emb.select(
@@ -448,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "cosine_neardup": q_cosine_neardup,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "ann_ivf_probe": q_ann_ivf_probe,
         "lsh_bucket_counts": q_lsh_bucket_counts,
         "ivf_centroids": q_ivf_centroids,
         "media_blob_stats": q_media_blob_stats,
@@ -666,6 +684,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_neardup_lsh": O.cosine_neardup_lsh_sql(threshold=0.4),
         "lsh_bucket_counts": O.lsh_bucket_counts_sql(),
         "ivf_centroids": O.ivf_centroids_sql(),
+        "ann_ivf_probe": O.ann_ivf_probe_sql(),
         "media_blob_stats": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -299,6 +299,67 @@ def ann_topk_blas(
     )
 
 
+def ann_ivf_probe(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF probe search: assign each query to its nearest centroid
+    (cosine; ties -> smallest label), then exact-search ONLY the corpus
+    rows of that cluster. The cross join shrinks from Q x N to
+    Q x (N / #clusters); the centroid table is tiny and broadcast twice
+    (assignment + probe). Recall tradeoff vs brute force: neighbors in
+    non-probed clusters are missed — probe more clusters to raise it."""
+    cent = centroids.select(
+        F.col(label_col).alias("_c_label"),
+        F.col("centroid").alias("_c_vec"),
+        norm(F.col("centroid")).alias("_c_norm"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = q.crossJoin(F.broadcast(cent)).select(
+        "query_id",
+        "q_vec",
+        "q_norm",
+        "_c_label",
+        (dot(F.col("q_vec"), F.col("_c_vec")) / (F.col("q_norm") * F.col("_c_norm"))).alias(
+            "_c_cos"
+        ),
+    )
+    # nearest centroid; ties -> smallest label (deterministic cross-engine)
+    assigned = top_k_per_key(
+        scored, ["query_id"], F.struct(F.col("_c_cos"), -F.col("_c_label")), 1
+    ).select("query_id", "q_vec", "q_norm", F.col("_c_label").alias("probe_label"))
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(label_col).alias("probe_label"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    pairs = c.join(F.broadcast(assigned), "probe_label").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    probed = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias(
+            "cosine"
+        ),
+    )
+    return top_k_per_key(
+        probed, ["query_id"], F.struct(F.col("cosine"), F.col("neighbor_id")), k
+    )
+
+
 def ivf_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = DEFAULT_DIM
 ) -> DataFrame:

@@ -250,6 +250,52 @@ def ivf_centroids_sql() -> str:
     """
 
 
+
+def ann_ivf_probe_sql(k: int = 5, n_queries: int = 20) -> str:
+    """IVF probe: quantized-mean centroids (identical doubles on both
+    engines), nearest-centroid assignment (ties -> smallest label), exact
+    search within the probed cluster only."""
+    return f"""
+    WITH means AS ({ivf_centroids_sql()}),
+    cent AS (
+      SELECT label, list(mean_val ORDER BY dim_idx) AS centroid
+      FROM means GROUP BY label
+    ),
+    centn AS (SELECT label, centroid, {norm_sql('centroid')} AS c_nrm FROM cent),
+    q AS (
+      SELECT vec_id, embedding, {norm_sql('embedding')} AS q_nrm
+      FROM embeddings WHERE vec_id < {n_queries}
+    ),
+    assigned AS (
+      SELECT vec_id AS query_id, embedding, q_nrm, label AS probe_label
+      FROM (
+        SELECT q.*, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {dot_sql('q.embedding', 'c.centroid')} / (q.q_nrm * c.c_nrm) DESC,
+                          c.label ASC
+               ) AS rn
+        FROM q, centn c
+      ) WHERE rn = 1
+    ),
+    corpus AS (
+      SELECT vec_id, label, embedding, {norm_sql('embedding')} AS c_nrm
+      FROM embeddings
+    ),
+    probed AS (
+      SELECT a.query_id, c.vec_id AS neighbor_id,
+             {dot_sql('a.embedding', 'c.embedding')} / (a.q_nrm * c.c_nrm) AS cosine
+      FROM assigned a JOIN corpus c
+        ON c.label = a.probe_label AND c.vec_id <> a.query_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id DESC) AS rn
+      FROM probed
+    ) WHERE rn <= {k}
+    """
+
+
 # --- text analysis -----------------------------------------------------------
 
 def text_stats_sql() -> str:

@@ -308,3 +308,51 @@ def test_pipeline_dim_update_across_batches(spark, tmp_path):
         assert len(read_output(spark, valid_out)) == 1  # unchanged
     finally:
         pipe.stop()
+
+
+def test_tracker_state_survives_restart_at_most_once(spark, tmp_path):
+    """Exactly-once evidence: the isFinished flag lives in the state
+    store, so a query RESTART from the checkpoint plus late count events
+    must NOT re-emit the terminal notification (Tracker.scala:187-194
+    at-most-once discipline under replay/restart)."""
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_rows = []
+
+    notifs = spark.createDataFrame(
+        [notif_row("b1", expected=2)], BATCH_NOTIFICATION_SCHEMA
+    ).withColumn("offset", F.lit(0).cast("long"))
+    counts = spark.createDataFrame(
+        [Row(batchId="b1", isValid=True) for _ in range(3)],  # overflow: 3 > 2
+        "batchId string, isValid boolean",
+    )
+    tag_notifications(notifs).unionByName(
+        tag_counts(counts).withColumn("seq", F.lit(10).cast("long"))
+    ).write.mode("overwrite").parquet(in_dir)
+
+    def run_once():
+        stream = read_table_stream(spark, in_dir, TRACKER_INPUT_SCHEMA)
+        q = (
+            streaming_tracker(stream, timeout_ms=300_000)
+            .writeStream.foreachBatch(lambda df, _b: out_rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert len(out_rows) == 1
+    assert out_rows[0].status == Status.FAILED  # overflow fail
+
+    # late counts arrive after the query stopped; restart from checkpoint
+    late = tag_counts(
+        spark.createDataFrame(
+            [Row(batchId="b1", isValid=False)], "batchId string, isValid boolean"
+        )
+    ).withColumn("seq", F.lit(20).cast("long"))
+    late.write.mode("append").parquet(in_dir)
+
+    run_once()
+    assert len(out_rows) == 1  # no duplicate terminal after restart
