@@ -367,6 +367,182 @@ def q_analytic_window(spark, sf_dir):
     )
 
 
+def q_rollup_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+def q_grouping_sets_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+    ).agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+
+
+def q_quantile_summary(spark, sf_dir):
+    """Exact sort-based percentiles (linear interpolation — identical to
+    DuckDB quantile_cont on these dyadic-friendly values). The 100 TB
+    path is approx_percentile (t-digest, mergeable partial aggregation);
+    exact percentile is the correctness anchor."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+def q_rank_features(spark, sf_dir):
+    """ntile / percent_rank / dense_rank over a total order (price desc,
+    key asc) — the quantile-bucketing primitives for data curation."""
+    from pyspark.sql import Window as SW
+
+    o = _t(spark, sf_dir, "orders")
+    w = SW.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+def q_scalar_subquery_above_avg(spark, sf_dir):
+    """Orders above the global average price. The scalar subquery becomes
+    a 1-row broadcast cross join; the comparison is cross-multiplied
+    (price * n > total) so it stays in exact decimal arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    tot = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return (
+        o.crossJoin(F.broadcast(tot))
+        .filter(F.col("o_totalprice").cast("decimal(18,4)") * F.col("_n") > F.col("_total"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+def q_tpch_q3_top_revenue(spark, sf_dir):
+    """TPC-H Q3 shape (shipping priority): 3-way join with the dim side
+    broadcast, decimal revenue agg, deterministic top-10 (revenue desc,
+    orderkey tiebreak). Filters sit directly on the scans so they push
+    into the parquet readers before either join."""
+    cutoff = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).join(
+        F.broadcast(c), o["o_custkey"] == c["c_custkey"]
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5_regional_volume(spark, sf_dir):
+    """TPC-H Q5 shape (local supplier volume): 6-table join where every
+    dim side (supplier, customer, nation, region) broadcasts, so the only
+    shuffle is the lineitem⋈orders equi-join + the final 1-key agg.
+    The c_nationkey = s_nationkey 'local supplier' constraint rides on
+    the broadcast joins for free."""
+    cutoff_lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)")
+            * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def q_range_frame_window(spark, sf_dir):
+    """RANGE-frame running aggregate: per user, sum/count of events whose
+    event_id lies within 100 of the current row — a value-based frame,
+    not a row-count frame."""
+    from pyspark.sql import Window as SW
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        SW.partitionBy("user_id")
+        .orderBy(F.col("event_id").cast("long"))
+        .rangeBetween(-100, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_in_range"),
+        F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double").alias("range_sum"),
+    )
+
+
+def q_string_funcs(spark, sf_dir):
+    """Scalar string-function surface: case, length, substring, regex
+    extraction, concatenation — all whole-stage-codegen built-ins."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("name_upper"),
+        F.length(F.col("c_name")).alias("name_len"),
+        F.substring(F.col("c_name"), 10, 5).alias("name_mid"),
+        F.regexp_extract(F.col("c_name"), r"(\d+)", 1).alias("cust_digits"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias(
+            "segment_tag"
+        ),
+    )
+
+
+def q_date_funcs(spark, sf_dir):
+    """Scalar date/time surface: truncation, field extraction, day
+    arithmetic on event timestamps."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("day_start"),
+        F.year(F.col("ts")).alias("yy"),
+        F.month(F.col("ts")).alias("mm"),
+        F.dayofmonth(F.col("ts")).alias("dd"),
+        F.hour(F.col("ts")).alias("hh"),
+        F.datediff(F.col("ts"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+    )
+
+
 def q_asof_latest_order(spark, sf_dir):
     """As-of join: each event matched to the user's latest order at or
     before the event time (ties on o_orderdate broken by max o_orderkey).
@@ -478,6 +654,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_agg": q_pivot_agg,
         "set_ops": q_set_ops,
         "analytic_window": q_analytic_window,
+        "rollup_agg": q_rollup_agg,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "quantile_summary": q_quantile_summary,
+        "rank_features": q_rank_features,
+        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
+        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
+        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
+        "range_frame_window": q_range_frame_window,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
     }
 
 
@@ -778,5 +964,104 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "grouping_sets_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+        "quantile_summary": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS median_qty,
+                   quantile_cont(l_quantity, 0.9) AS p90_qty,
+                   MIN(l_quantity) AS min_qty,
+                   MAX(l_quantity) AS max_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "rank_features": """
+            SELECT o_orderkey,
+                   CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile,
+                   PERCENT_RANK() OVER w AS price_pct_rank,
+                   CAST(DENSE_RANK() OVER w AS INTEGER) AS price_dense_rank
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "scalar_subquery_above_avg": """
+            SELECT o_orderkey, o_totalprice
+            FROM orders, (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS _total,
+                                 COUNT(*) AS _n
+                          FROM orders) t
+            WHERE CAST(o_totalprice AS DECIMAL(18,4)) * _n > _total
+        """,
+        "tpch_q3_top_revenue": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+              AND l.l_shipdate  > TIMESTAMP '1997-06-01 00:00:00'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "tpch_q5_regional_volume": """
+            SELECT n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n   ON s.s_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n.n_name
+        """,
+        "range_frame_window": """
+            SELECT event_id, user_id,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n_in_range,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                     AS range_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                         RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+        """,
+        "string_funcs": r"""
+            SELECT c_custkey,
+                   UPPER(c_name) AS name_upper,
+                   CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+                   SUBSTR(c_name, 10, 5) AS name_mid,
+                   regexp_extract(c_name, '(\d+)', 1) AS cust_digits,
+                   concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR))
+                     AS segment_tag
+            FROM customer
+        """,
+        "date_funcs": """
+            SELECT event_id,
+                   date_trunc('day', ts) AS day_start,
+                   CAST(year(ts) AS INTEGER) AS yy,
+                   CAST(month(ts) AS INTEGER) AS mm,
+                   CAST(day(ts) AS INTEGER) AS dd,
+                   CAST(hour(ts) AS INTEGER) AS hh,
+                   CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE))
+                        AS INTEGER) AS days_since_epoch0
+            FROM events
         """,
     }
