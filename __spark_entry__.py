@@ -239,6 +239,46 @@ def q_simhash_pairs(spark, sf_dir):
     return D.simhash_neardup_pairs(_tp(spark, sf_dir, "documents"))
 
 
+def q_hash_sample(spark, sf_dir):
+    """Deterministic content-addressed sampling: md5-bucket of the id,
+    keep 10%. Unlike rand()-based sampling this is reproducible across
+    runs, engines, and partitionings — the property a training-data
+    pipeline needs for holdout splits. Pure codegen filter, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = TX.hash32(F.col("doc_id").cast("string")) % 1000
+    return docs.filter(bucket < 100).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling: downsample the dominant
+    language (20%), keep half of everything else — the language-rebalance
+    step of corpus curation, as one branch-free codegen filter."""
+    docs = _t(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", F.lit(200)).otherwise(F.lit(500))
+    bucket = TX.hash32(F.col("doc_id").cast("string")) % 1000
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+def q_domain_mix(spark, sf_dir):
+    """Corpus composition report: docs/chars per (lang, source) plus each
+    cell's share of the corpus — the mixing-weights input for training
+    data schedules. The corpus total is a 1-row broadcast cross join, not
+    an unpartitioned window (which would funnel all rows to one task)."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_total_docs"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_chars",
+        (F.col("n_docs").cast("double") / F.col("_total_docs")).alias("doc_share"),
+    )
+
+
 # --- embedding similarity ---------------------------------------------------
 
 def q_ann_topk(spark, sf_dir):
@@ -664,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_frame_window": q_range_frame_window,
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "domain_mix": q_domain_mix,
     }
 
 
@@ -1063,5 +1106,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE))
                         AS INTEGER) AS days_since_epoch0
             FROM events
+        """,
+        "hash_sample": f"""
+            SELECT doc_id, lang, source, n_chars
+            FROM documents
+            WHERE {O.hash32("CAST(doc_id AS VARCHAR)")} % 1000 < 100
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE {O.hash32("CAST(doc_id AS VARCHAR)")} % 1000
+                  < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+        """,
+        "domain_mix": """
+            SELECT lang, source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(COUNT(*) AS DOUBLE)
+                     / (SELECT COUNT(*) FROM documents) AS doc_share
+            FROM documents GROUP BY lang, source
         """,
     }
