@@ -1,0 +1,80 @@
+"""Streaming-native operators beyond the reference's surface (north
+star: the reference handles lateness by business logic only —
+README.md:24 — while a general pipeline needs watermark-bounded state).
+
+Both operators here exist because their naive forms hold UNBOUNDED
+state in a streaming job:
+
+- exact dedup over an infinite stream would keep every key ever seen;
+  ``streaming_dedup`` bounds state to the watermark horizon with
+  ``dropDuplicatesWithinWatermark`` (duplicates are only possible
+  within the delay window — true for Kafka-redelivery dedup, where the
+  redelivery gap is bounded by the transaction timeout);
+- a stream-stream join would buffer both sides forever; Spark rejects
+  it without a time-bound condition. ``stream_stream_interval_join``
+  expresses the bounded form: both sides watermarked, join predicate
+  constrains the event-time delta, so each side's buffer is
+  (watermark delay + interval) deep.
+
+Batch DataFrames run through the same code (watermark is a no-op in
+batch; ``dropDuplicatesWithinWatermark`` requires a streaming DF, so
+the dedup falls back to plain ``dropDuplicates`` in batch mode — same
+result set when batch input holds the full horizon).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    event_time_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exact dedup with watermark-bounded state.
+
+    State per key lives until the watermark passes its event time +
+    delay; afterwards a re-arrival would NOT be deduped — callers choose
+    ``delay`` >= the maximum duplicate gap (for the reference's Kafka
+    redelivery that is the transaction timeout, 900 s —
+    BaseValidationJob.scala:331-334).
+    """
+    if df.isStreaming:
+        return df.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return df.dropDuplicates(keys)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_time: str,
+    right_time: str,
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    delay: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with an event-time interval bound:
+    right_time in [left_time - lower, left_time + upper].
+
+    Both sides carry a watermark so the runtime can evict buffered rows
+    once no counterpart can still arrive; total state is
+    O(input rate x (delay + interval)), independent of stream length.
+    """
+    lw = left.withWatermark(left_time, delay)
+    rw = right.withWatermark(right_time, delay)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (lw[k] == rw[k])
+    cond = (
+        cond
+        & (rw[right_time] >= F.expr(f"{left_time} - INTERVAL {lower}"))
+        & (rw[right_time] <= F.expr(f"{left_time} + INTERVAL {upper}"))
+    )
+    return lw.join(rw, cond, how)

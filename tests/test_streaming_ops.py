@@ -1,0 +1,120 @@
+"""Watermark-bounded streaming operators (streaming/ops.py): exact
+dedup with dropDuplicatesWithinWatermark and stream-stream interval
+join. Each is checked against its batch-mode equivalent on the same
+data — the unified-API property the engine leans on everywhere.
+"""
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from hri_flink_pipeline_core_spark.streaming.ops import (
+    stream_stream_interval_join,
+    streaming_dedup,
+)
+
+BASE = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def ts(minutes):
+    return BASE + dt.timedelta(minutes=minutes)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Kafka-redelivery shape: the same (topic, partition, offset)
+    identity delivered twice within the horizon -> exactly one
+    survivor per identity."""
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    rows = [
+        Row(topic="t", partition=0, offset=i % 3, ts=ts(i)) for i in range(6)
+    ]  # offsets 0,1,2 each delivered twice
+    spark.createDataFrame(
+        rows, "topic string, partition int, offset long, ts timestamp"
+    ).write.mode("overwrite").parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "topic string, partition int, offset long, ts timestamp"
+    ).parquet(in_dir)
+    deduped = streaming_dedup(
+        stream, ["topic", "partition", "offset"], "ts", delay="30 minutes"
+    )
+    out = []
+    q = (
+        deduped.writeStream.foreachBatch(lambda df, _b: out.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert sorted((r.topic, r.partition, r.offset) for r in out) == [
+        ("t", 0, 0),
+        ("t", 0, 1),
+        ("t", 0, 2),
+    ]
+
+    # batch path through the same operator gives the same identity set
+    batch = streaming_dedup(
+        spark.read.parquet(in_dir), ["topic", "partition", "offset"], "ts"
+    )
+    assert batch.count() == 3
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Anchors x events within [anchor_ts, anchor_ts + 30 min] per user:
+    the streaming join (watermarks on both sides) must produce exactly
+    the rows the batch join produces."""
+    ev_dir = str(tmp_path / "events")
+    an_dir = str(tmp_path / "anchors")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = [
+        Row(user_id=u, event_id=u * 100 + i, ev_ts=ts(i * 7))
+        for u in (1, 2)
+        for i in range(10)
+    ]
+    anchors = [Row(user_id=u, anchor_id=u, an_ts=ts(10)) for u in (1, 2)]
+    ev_schema = "user_id int, event_id int, ev_ts timestamp"
+    an_schema = "user_id int, anchor_id int, an_ts timestamp"
+    spark.createDataFrame(events, ev_schema).write.mode("overwrite").parquet(ev_dir)
+    spark.createDataFrame(anchors, an_schema).write.mode("overwrite").parquet(an_dir)
+
+    def run(left, right):
+        return stream_stream_interval_join(
+            left,
+            right,
+            keys=["user_id"],
+            left_time="an_ts",
+            right_time="ev_ts",
+            lower="0 seconds",
+            upper="30 minutes",
+            delay="2 hours",
+        ).select("anchor_id", "event_id")
+
+    expected = sorted(
+        (r.anchor_id, r.event_id)
+        for r in run(
+            spark.read.parquet(an_dir), spark.read.parquet(ev_dir)
+        ).collect()
+    )
+    # sanity: the interval actually selects a strict subset
+    assert 0 < len(expected) < len(events) * len(anchors)
+
+    out = []
+    q = (
+        run(
+            spark.readStream.schema(an_schema).parquet(an_dir),
+            spark.readStream.schema(ev_schema).parquet(ev_dir),
+        )
+        .writeStream.foreachBatch(lambda df, _b: out.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert sorted((r.anchor_id, r.event_id) for r in out) == expected
