@@ -40,6 +40,8 @@ def main() -> int:
             except Exception:
                 pass
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         t0 = time.perf_counter()
@@ -49,6 +51,12 @@ def main() -> int:
         n = df.toPandas().shape[0]
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Drop the py4j refs NOW (outside the timed window) so Spark's
+        # ContextCleaner can release each query's shuffle files and
+        # broadcasts; without this, later heavy queries in the 50+ query
+        # sweep time 2-3x slower under the accumulated JVM pressure.
+        del df
+        gc.collect()
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     out = {
