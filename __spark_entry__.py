@@ -279,6 +279,34 @@ def q_domain_mix(spark, sf_dir):
     )
 
 
+def q_sequence_pack(spark, sf_dir):
+    """Pretraining-style sequence packing: documents are concatenated in
+    a deterministic order (doc_id within source) and split into packs at
+    a fixed token budget — boundary docs straddle packs, exactly how
+    context windows are filled. pack_id = floor(tokens_before / budget)
+    is a running-sum bucketing: one window sort per source partition, no
+    pairwise logic. At 100 TB this is repartition(source-bucket) +
+    sortWithinPartitions, the same shape."""
+    from pyspark.sql import Window as SW
+
+    budget = 2048
+    docs = _tp(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", TX.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    w = SW.partitionBy("source").orderBy("doc_id")
+    packed = toked.withColumn("cum_tokens", F.sum("n_tokens").over(w)).withColumn(
+        "pack_id",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(budget)),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 # --- embedding similarity ---------------------------------------------------
 
 def q_ann_topk(spark, sf_dir):
@@ -707,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "domain_mix": q_domain_mix,
+        "sequence_pack": q_sequence_pack,
     }
 
 
@@ -1125,5 +1154,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS DOUBLE)
                      / (SELECT COUNT(*) FROM documents) AS doc_share
             FROM documents GROUP BY lang, source
+        """,
+        "sequence_pack": f"""
+            WITH t AS (
+              SELECT doc_id, source,
+                     CAST(len({O.tokens('text')}) AS INTEGER) AS n_tokens
+              FROM documents
+            ),
+            c AS (
+              SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+              FROM t
+            )
+            SELECT source,
+                   CAST(floor((cum_tokens - n_tokens) / 2048) AS BIGINT) AS pack_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+                   MIN(doc_id) AS first_doc,
+                   MAX(doc_id) AS last_doc
+            FROM c GROUP BY source, pack_id
         """,
     }
