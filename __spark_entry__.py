@@ -345,6 +345,29 @@ def q_ann_ivf_probe(spark, sf_dir):
     )
 
 
+def q_kmeans_refine(spark, sf_dir):
+    """Iterative algorithm surface: 2 Lloyd rounds of k-means over the
+    embeddings, seeded with the quantized label means (ivf_centroids).
+    Assignment = broadcast cross join (corpus never shuffles); update =
+    one partial-agg shuffle of member x dim rows; all distance math is
+    the left-fold double discipline so the DuckDB CTE chain reproduces
+    it bit-identically. Output: member count + vec_id checksum per
+    final cluster."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    means = q_ivf_centroids(spark, sf_dir)
+    cent0 = means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+    assigned = S.kmeans_lloyd(emb, cent0, iters=2)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("sum_vec_ids"),
+    )
+
+
 def q_ivf_centroids(spark, sf_dir):
     emb = _tp(spark, sf_dir, "embeddings")
     exploded = emb.select(
@@ -736,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "domain_mix": q_domain_mix,
         "sequence_pack": q_sequence_pack,
+        "kmeans_refine": q_kmeans_refine,
     }
 
 
@@ -943,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_counts": O.lsh_bucket_counts_sql(),
         "ivf_centroids": O.ivf_centroids_sql(),
         "ann_ivf_probe": O.ann_ivf_probe_sql(),
+        "kmeans_refine": O.kmeans_refine_sql(iters=2),
         "media_blob_stats": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -390,3 +390,79 @@ def ivf_centroids(
             ).alias("centroid")
         )
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd assignment step: nearest centroid by cosine (ties -> smallest
+    label). Centroids are tiny (k rows) -> broadcast cross join; the
+    corpus never shuffles. Returns (vec_id, cluster, _vec)."""
+    cent = centroids.select(
+        F.col("label").alias("_c_label"),
+        F.col("centroid").alias("_c_vec"),
+        norm(F.col("centroid")).alias("_c_norm"),
+    )
+    v = df.select(
+        F.col(vec_id).alias("vec_id"),
+        F.col(vec_col).alias("_vec"),
+        norm(F.col(vec_col)).alias("_nrm"),
+    )
+    scored = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "_vec",
+        "_c_label",
+        (dot(F.col("_vec"), F.col("_c_vec")) / (F.col("_nrm") * F.col("_c_norm"))).alias(
+            "_cos"
+        ),
+    )
+    return top_k_per_key(
+        scored, ["vec_id"], F.struct(F.col("_cos"), -F.col("_c_label")), 1
+    ).select("vec_id", F.col("_c_label").alias("cluster"), "_vec")
+
+
+def kmeans_quantized_update(assigned: DataFrame) -> DataFrame:
+    """Lloyd update step: element-wise mean of each cluster's members,
+    quantized at 1e-10 (floor(x*1e10+0.5)) so the centroid doubles are
+    bit-identical cross-engine (same rationale as ivf centroid means).
+    Clusters that lost every member simply disappear. One shuffle of
+    members x dim skinny rows with map-side partial aggregation."""
+    exploded = assigned.select(
+        "cluster", F.posexplode(F.col("_vec")).alias("dim_idx", "val")
+    )
+    q = F.floor(F.col("val").cast("double") * F.lit(1e10) + F.lit(0.5))
+    means = exploded.groupBy("cluster", "dim_idx").agg(
+        (F.sum(q).cast("double") / F.lit(1e10) / F.count(F.lit(1))).alias("mean_val")
+    )
+    return means.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    ).select(F.col("cluster").alias("label"), "centroid")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    init_centroids: DataFrame,
+    iters: int = 2,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Iterative Lloyd refinement: ``iters`` rounds of assign+update,
+    then a final assignment against the refined centroids. Returns the
+    final (vec_id, cluster).
+
+    Iterative DataFrame algorithms grow a linear plan per round; for the
+    handful of k-means rounds that matters this is fine (each round is
+    broadcast-join + one partial-agg shuffle). For many rounds,
+    checkpoint/localCheckpoint the centroid DF to cut lineage — k rows,
+    so materialization is free."""
+    centroids = init_centroids
+    for _ in range(iters):
+        assigned = kmeans_assign(df, centroids, vec_id, vec_col)
+        centroids = kmeans_quantized_update(assigned)
+    return kmeans_assign(df, centroids, vec_id, vec_col).select("vec_id", "cluster")

@@ -370,3 +370,60 @@ def dedup_exact_sql() -> str:
            CAST(COUNT(*) AS BIGINT) AS dup_count
     FROM documents GROUP BY 1
     """
+
+
+def kmeans_refine_sql(iters: int = 2, dim: int = 64) -> str:
+    """Lloyd k-means refinement, CTE chain mirroring kmeans_lloyd:
+    init = the quantized label means (ivf_centroids_sql), then per round
+    assign (cosine, ties -> smallest label) + quantized-mean update;
+    output = member count and vec_id checksum per final cluster."""
+    def assign_cte(i: int, cent: str) -> str:
+        return f"""
+    centn{i} AS (SELECT label, centroid, {norm_sql('centroid')} AS c_nrm FROM {cent}),
+    assign{i} AS (
+      SELECT vec_id, embedding, label AS cluster FROM (
+        SELECT e.vec_id, e.embedding, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {dot_sql('e.embedding', 'c.centroid')}
+                          / ({norm_sql('e.embedding')} * c.c_nrm) DESC,
+                          c.label ASC) AS rn
+        FROM embeddings e, centn{i} c
+      ) WHERE rn = 1
+    )"""
+
+    def update_cte(i: int) -> str:
+        return f"""
+    means{i} AS (
+      SELECT cluster AS label, i - 1 AS dim_idx,
+             CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e10 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1e10 / COUNT(*) AS mean_val
+      FROM assign{i} CROSS JOIN UNNEST(range(1, {dim + 1})) AS t(i)
+      GROUP BY cluster, i
+    ),
+    cent{i} AS (
+      SELECT label, list(mean_val ORDER BY dim_idx) AS centroid
+      FROM means{i} GROUP BY label
+    )"""
+
+    parts = [
+        f"""
+    means0 AS ({ivf_centroids_sql()}),
+    cent0 AS (
+      SELECT label, list(mean_val ORDER BY dim_idx) AS centroid
+      FROM means0 GROUP BY label
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign_cte(i, f"cent{i-1}"))
+        parts.append(update_cte(i))
+    final = iters + 1
+    parts.append(assign_cte(final, f"cent{iters}"))
+    ctes = ",".join(parts)
+    return f"""
+    WITH {ctes}
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
+    FROM assign{final} GROUP BY cluster
+    """
