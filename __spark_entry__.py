@@ -279,6 +279,28 @@ def q_domain_mix(spark, sf_dir):
     )
 
 
+def q_json_array_funcs(spark, sf_dir):
+    """Scalar JSON + array/lambda function surface: JSON path extraction
+    over the props column, sequence construction, and the
+    transform/aggregate/size/array_max higher-order family — all
+    expression-level (no UDFs). These HOF lambdas run interpreted, which
+    is fine at O(4) elements each; big-array folds go through the
+    explode/partial-agg shape instead (see dedup.py)."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.sequence(F.lit(1), (F.col("event_id") % 4 + 1).cast("int"))
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        seq.alias("seq"),
+    ).select(
+        "event_id",
+        "k_val",
+        F.aggregate("seq", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("seq_sum"),
+        F.size("seq").alias("seq_len"),
+        F.array_max(F.transform("seq", lambda x: x * 2)).alias("max_doubled"),
+    )
+
+
 def q_sequence_pack(spark, sf_dir):
     """Pretraining-style sequence packing: documents are concatenated in
     a deterministic order (doc_id within source) and split into packs at
@@ -760,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "sequence_pack": q_sequence_pack,
         "kmeans_refine": q_kmeans_refine,
+        "json_array_funcs": q_json_array_funcs,
     }
 
 
@@ -968,6 +991,18 @@ def oracle_sql() -> dict[str, str]:
         "ivf_centroids": O.ivf_centroids_sql(),
         "ann_ivf_probe": O.ann_ivf_probe_sql(),
         "kmeans_refine": O.kmeans_refine_sql(iters=2),
+        "json_array_funcs": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+                   CAST(list_reduce(range(1, CAST(event_id % 4 + 1 AS INTEGER) + 1),
+                                    (a,x) -> a+x) AS BIGINT) AS seq_sum,
+                   CAST(len(range(1, CAST(event_id % 4 + 1 AS INTEGER) + 1))
+                        AS INTEGER) AS seq_len,
+                   CAST(list_max(list_transform(
+                          range(1, CAST(event_id % 4 + 1 AS INTEGER) + 1),
+                          x -> x*2)) AS BIGINT) AS max_doubled
+            FROM events
+        """,
         "media_blob_stats": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
