@@ -605,6 +605,201 @@ def q_tpch_q5_regional_volume(spark, sf_dir):
     )
 
 
+def _disc_price() -> "F.Column":
+    """Exact-decimal l_extendedprice * (1 - l_discount)."""
+    return F.col("l_extendedprice").cast("decimal(18,4)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,4)")
+    )
+
+
+def q_tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: tight scan-level predicate (date range + discount
+    band + quantity cap) folded into the parquet scan, single global
+    decimal agg — zero joins, one shuffle-free partial+final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").cast("decimal(18,4)") >= F.lit("0.05").cast("decimal(18,4)"))
+            & (F.col("l_discount").cast("decimal(18,4)") <= F.lit("0.07").cast("decimal(18,4)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * F.col("l_discount").cast("decimal(18,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): customer-nation x supplier-nation
+    trade volume between two nations per ship year. Both nation dims
+    broadcast; the symmetric pair predicate rides on the joined row."""
+    n1, n2 = "NATION_1", "NATION_2"
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(n1, n2))
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("_snk"),
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("_cnk"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+
+
+def q_tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (returned-item reporting): revenue lost to returns
+    per customer in one quarter, deterministic top-20. Customer dim
+    broadcasts into the lineitem⋈orders shuffle join."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q13_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer distribution): two-level aggregate over a
+    LEFT join — orders-per-customer, then customers-per-order-count.
+    The second agg is tiny (≤ distinct counts), so the only real shuffle
+    is the first groupBy."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count(F.col("o_orderkey")).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape (promotion effect): conditional-revenue ratio over
+    a broadcast part join; both sums accumulate in exact decimal and the
+    final ratio is one double division (identical in both engines)."""
+    lo = F.lit("1996-03-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    zero = F.lit("0").cast("decimal(18,4)")
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(zero)).cast("double")
+            / F.sum(_disc_price()).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customer): HAVING-filtered semi
+    aggregation — order keys whose lineitem quantity exceeds 200 feed a
+    customer join. The qty agg happens BEFORE the joins, so only the
+    ~1% surviving orders enter the join (aggregate-then-join, not
+    join-then-aggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q19_bracket_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue): OR-of-AND predicate brackets
+    spanning the fact and a broadcast dim. Catalyst extracts the common
+    l_partkey = p_partkey conjunct as the join key; the brackets stay as
+    a post-join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    brackets = (
+        ((F.col("p_brand") == "BRAND_1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "BRAND_2") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "BRAND_3") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return joined.filter(brackets).agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (global sales opportunity): rich customers with no
+    urgent orders — scalar-subquery average (cross-multiplied to stay in
+    exact decimal) + LEFT ANTI join with a pushed-down predicate on the
+    anti side + per-nation rollup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)")).alias("_total"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast("decimal(18,4)") * F.col("_n") > F.col("_total")
+    )
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        _dsum(F.col("c_acctbal")).alias("totacctbal"),
+    )
+
+
 def q_range_frame_window(spark, sf_dir):
     """RANGE-frame running aggregate: per user, sum/count of events whose
     event_id lies within 100 of the current row — a value-based frame,
@@ -774,6 +969,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
         "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
         "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
+        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
         "range_frame_window": q_range_frame_window,
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
@@ -1165,6 +1368,122 @@ def oracle_sql() -> dict[str, str]:
               AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n.n_name
+        """,
+        "tpch_q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+              AND CAST(l_discount AS DECIMAL(18,4)) >= CAST('0.05' AS DECIMAL(18,4))
+              AND CAST(l_discount AS DECIMAL(18,4)) <= CAST('0.07' AS DECIMAL(18,4))
+              AND l_quantity < 24
+        """,
+        "tpch_q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation,
+                   cn.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o    ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+            JOIN customer c  ON o.o_custkey = c.c_custkey
+            JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+            WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+               OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+            GROUP BY sn.n_name, cn.n_name, l_year
+        """,
+        "tpch_q10_returned_items": """
+            SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                   CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o   ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+            ORDER BY revenue DESC, c.c_custkey
+            LIMIT 20
+        """,
+        "tpch_q13_order_distribution": """
+            SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c.c_custkey,
+                     CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+              FROM customer c
+              LEFT JOIN (SELECT * FROM orders
+                         WHERE o_orderpriority <> '1-URGENT') o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "tpch_q14_promo_revenue": """
+            SELECT (100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                         ELSE CAST('0' AS DECIMAL(18,4)) END) AS DOUBLE))
+                   / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS promo_revenue_pct
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        """,
+        "tpch_q18_large_orders": """
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, b.total_qty
+            FROM (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                       AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 200
+            ) b
+            JOIN orders o   ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_totalprice DESC, o.o_orderkey
+            LIMIT 100
+        """,
+        "tpch_q19_bracket_revenue": """
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                     AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'BRAND_1' AND p.p_size BETWEEN 1 AND 15
+                   AND l.l_quantity BETWEEN 1 AND 11)
+               OR (p.p_brand = 'BRAND_2' AND p.p_size BETWEEN 1 AND 25
+                   AND l.l_quantity BETWEEN 10 AND 20)
+               OR (p.p_brand = 'BRAND_3' AND p.p_size BETWEEN 1 AND 35
+                   AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q22_idle_customers": """
+            WITH pos AS (
+              SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS _total,
+                     COUNT(*) AS _n
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c.c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS numcust,
+                   CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                     AS totacctbal
+            FROM customer c, pos
+            WHERE CAST(c.c_acctbal AS DECIMAL(18,4)) * pos._n > pos._total
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c.c_nationkey
         """,
         "range_frame_window": """
             SELECT event_id, user_id,
