@@ -239,6 +239,70 @@ def q_simhash_pairs(spark, sf_dir):
     return D.simhash_neardup_pairs(_tp(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Duplicate-cluster assignment: MinHash-LSH candidate pairs ->
+    connected components via fixed-iteration min-label propagation.
+    All iteration joins run on the tiny pair graph, never the corpus."""
+    pairs = D.minhash_lsh_candidates(_tp(spark, sf_dir, "documents"))
+    return D.connected_components(pairs)
+
+
+def q_term_topk(spark, sf_dir):
+    """Corpus term statistics: top-20 tokens per language. explode +
+    groupBy (map-side partial agg) rather than per-row array lambdas —
+    the scalable path for 100 TB token counting — then a per-language
+    window for the deterministic top-k (count desc, term asc)."""
+    from pyspark.sql import Window as SW
+
+    docs = _tp(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(TX.tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = SW.partitionBy("lang").orderBy(F.col("n").desc(), F.col("term"))
+    return counts.select(
+        "lang", "term", "n", F.row_number().over(w).alias("term_rank")
+    ).filter(F.col("term_rank") <= 20)
+
+
+_KMV_K = 64
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch per event_type, with
+    the exact count alongside. The deterministic md5-based hash makes the
+    sketch identical across engines (and across partitionings — unlike
+    HLL, whose merge order can differ). Scale path: the k-smallest pass
+    is distinct + per-key window top-k, both partial-aggregated before
+    the shuffle; estimate = (k-1) * 2^60 / kth_min_hash."""
+    from pyspark.sql import Window as SW
+
+    ev = _t(spark, sf_dir, "events")
+    dh = ev.select(
+        "event_type", TX.hash60(F.col("user_id").cast("string")).alias("h")
+    ).distinct()
+    w = SW.partitionBy("event_type").orderBy("h")
+    kmin = dh.select(
+        "event_type", "h", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _KMV_K)
+    est = kmin.groupBy("event_type").agg(
+        F.max("h").alias("kth"), F.count(F.lit(1)).alias("m")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).alias("n_exact")
+    )
+    return est.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        F.when(F.col("m") < _KMV_K, F.col("m").cast("double"))
+        .otherwise(
+            F.lit(float(_KMV_K - 1) * 2.0**60) / F.col("kth").cast("double")
+        )
+        .alias("est_distinct"),
+        "n_exact",
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-addressed sampling: md5-bucket of the id,
     keep 10%. Unlike rand()-based sampling this is reproducible across
@@ -944,6 +1008,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact_text": q_dedup_exact_text,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "term_topk": q_term_topk,
+        "kmv_distinct": q_kmv_distinct,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -1185,6 +1252,50 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": O.fingerprint_sql(),
         "dedup_exact_text": O.dedup_exact_sql(),
         "minhash_lsh_pairs": O.minhash_lsh_pairs_sql(),
+        "dedup_clusters": O.dedup_clusters_sql(),
+        "term_topk": f"""
+            WITH t AS (
+              SELECT lang, unnest({O.tokens('text')}) AS term FROM documents
+            ),
+            c AS (
+              SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS n
+              FROM t GROUP BY lang, term
+            )
+            SELECT lang, term, n,
+                   CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY n DESC, term) AS INTEGER) AS term_rank
+            FROM c
+            QUALIFY term_rank <= 20
+        """,
+        "kmv_distinct": f"""
+            WITH dh AS (
+              SELECT DISTINCT event_type,
+                     {O.hash60("CAST(user_id AS VARCHAR)")} AS h
+              FROM events
+            ),
+            kmin AS (
+              SELECT event_type, h
+              FROM dh
+              QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY h)
+                      <= {_KMV_K}
+            ),
+            est AS (
+              SELECT event_type, MAX(h) AS kth,
+                     CAST(COUNT(*) AS BIGINT) AS m
+              FROM kmin GROUP BY event_type
+            ),
+            exact AS (
+              SELECT event_type,
+                     CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+              FROM events GROUP BY event_type
+            )
+            SELECT est.event_type,
+                   CASE WHEN m < {_KMV_K} THEN CAST(m AS DOUBLE)
+                        ELSE ({_KMV_K - 1}.0 * 1152921504606846976.0)
+                             / CAST(kth AS DOUBLE) END AS est_distinct,
+                   exact.n_exact
+            FROM est JOIN exact USING (event_type)
+        """,
         "ngram_jaccard_pairs": O.ngram_jaccard_pairs_sql(threshold=0.5),
         "simhash_pairs": O.simhash_pairs_sql(),
         "ann_topk": O.ann_topk_sql(k=5, n_queries=20),

@@ -330,3 +330,50 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iterations: int = 3,
+) -> DataFrame:
+    """Duplicate-cluster assignment: fixed-iteration min-label propagation
+    over an undirected pair set -> ``(doc_id, cluster_id)`` where
+    cluster_id is the minimum member id of the component.
+
+    Near-dup graphs have tiny components (pairs/triples), so a fixed
+    small iteration count converges; each iteration is one shuffle join
+    + one groupBy on the (small) edge set, never on the corpus. The
+    fixed count also keeps the op expressible as a DuckDB oracle (the
+    production alternative at extreme diameters is large-star/small-star
+    [Kiveris et al., "Connected Components in MapReduce and Beyond"],
+    same join primitives, data-dependent rounds).
+
+    Generalizes the reference's exact-dedup surface (SURVEY §2.16
+    `dedup`); no reference counterpart (clusters, not just pairs).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    )
+    for _ in range(iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["doc_id"])
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+    return labels

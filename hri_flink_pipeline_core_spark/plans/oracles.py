@@ -427,3 +427,34 @@ def kmeans_refine_sql(iters: int = 2, dim: int = 64) -> str:
            CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids
     FROM assign{final} GROUP BY cluster
     """
+
+
+def dedup_clusters_sql(iterations: int = 3, max_bucket: int = 64) -> str:
+    """LSH candidate pairs -> fixed-iteration min-label propagation,
+    matching operators.dedup.connected_components exactly."""
+    ctes = [
+        lsh_banded_cte(max_bucket),
+        """cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id
+    )""",
+        """edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    )""",
+        "l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster_id FROM edges)",
+    ]
+    for i in range(iterations):
+        ctes.append(f"""l{i + 1} AS (
+      SELECT l.doc_id,
+             least(l.cluster_id,
+                   coalesce(min(r.cluster_id), l.cluster_id)) AS cluster_id
+      FROM l{i} l
+      LEFT JOIN edges e ON e.src = l.doc_id
+      LEFT JOIN l{i} r ON e.dst = r.doc_id
+      GROUP BY l.doc_id, l.cluster_id
+    )""")
+    body = ",\n    ".join(ctes)
+    return f"WITH {body}\n    SELECT doc_id, cluster_id FROM l{iterations}"
