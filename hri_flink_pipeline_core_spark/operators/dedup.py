@@ -172,7 +172,12 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    sized = cap_bucket_size(exploded, ["band", "bucket"], max_bucket)
+    # The bucket table is self-joined (a x b) and its lineage contains the
+    # full signature computation over the corpus; without persist, Spark
+    # evaluates that lineage once per join side (the differing doc_a/doc_b
+    # projections defeat ReuseExchange). The table itself is tiny
+    # ((doc_id, band, bucket) per doc), so MEMORY_AND_DISK is safe at scale.
+    sized = cap_bucket_size(exploded, ["band", "bucket"], max_bucket).persist()
     a = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
     b = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
     return (
@@ -197,6 +202,9 @@ def ngram_jaccard_pairs(
     # shingle sets are expensive (interpreted transform) — build them only
     # for docs that actually appear in a candidate pair (tiny set after
     # LSH), via a broadcast semi-join on the bare id column
+    # candidates feeds three consumers (cand_ids + the final double join);
+    # persist so its (possibly expensive LSH) lineage runs once.
+    candidates = candidates.persist()
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -312,7 +320,9 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "sh", "cc.chunk_idx", "cc.chunk")
+    ).select("doc_id", "sh", "cc.chunk_idx", "cc.chunk").persist()
+    # persisted: self-joined below, and the simhash majority-vote lineage
+    # above it is the expensive part — run it once, not per join side
     a = exploded.select(
         "chunk_idx", "chunk", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
     )
@@ -353,10 +363,14 @@ def connected_components(
     Generalizes the reference's exact-dedup surface (SURVEY §2.16
     `dedup`); no reference counterpart (clusters, not just pairs).
     """
+    # edges re-enters the plan once per iteration; persisting truncates the
+    # (corpus-scale) pair-generation lineage to a single evaluation. The
+    # edge set is small by construction (near-dup pairs only).
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        .persist()
     )
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("cluster_id")
@@ -375,5 +389,8 @@ def connected_components(
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            # each iteration reads labels twice (neighbor join + carry);
+            # without persist the re-evaluations compound 2^iterations
+            .persist()
         )
     return labels
