@@ -75,3 +75,52 @@ def test_minhash_pipeline_shuffles_are_aggregates_not_sorts(spark, sf001):
     # the skew guard must be a broadcast anti-join, not a window sort
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q18_aggregates_before_join(spark, sf001):
+    """The HAVING semi-aggregation must run before the orders/customer
+    joins (aggregate-then-join): at scale only ~1% of orders survive the
+    quantity filter, so joining first would shuffle 100x the rows."""
+    plan = plan_of(entry.q_tpch_q18_large_orders(spark, sf001), mode="simple")
+    agg_pos = plan.rfind("HashAggregate")  # innermost (deepest) aggregate
+    join_pos = plan.find("Join")  # outermost join
+    assert agg_pos != -1 and join_pos != -1
+    assert agg_pos > join_pos  # deeper in the tree = later in the dump
+
+
+def test_tpch_q7_q10_dims_broadcast(spark, sf001):
+    for q in (entry.q_tpch_q7_nation_volume, entry.q_tpch_q10_returned_items):
+        plan = plan_of(q(spark, sf001))
+        assert "BroadcastHashJoin" in plan
+        # only the lineitem<->orders fact join may shuffle-join
+        assert plan.count("SortMergeJoin") <= 1
+
+
+def test_tpch_q22_anti_join_with_pushed_priority_filter(spark, sf001):
+    plan = plan_of(entry.q_tpch_q22_idle_customers(spark, sf001))
+    assert "LeftAnti" in plan
+    # the urgent-priority predicate must reach the orders scan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_tpch_q6_is_scan_plus_agg_only(spark, sf001):
+    plan = plan_of(entry.q_tpch_q6_forecast_revenue(spark, sf001), mode="simple")
+    assert "Join" not in plan
+    # date-range predicates push into the parquet reader
+    full = plan_of(entry.q_tpch_q6_forecast_revenue(spark, sf001))
+    assert "PushedFilters" in full and "l_shipdate" in full.split("PushedFilters")[1][:300]
+
+
+def test_dedup_clusters_reuses_persisted_edges(spark, sf001):
+    """The CC iterations must read the persisted pair graph, not re-run
+    the MinHash pipeline per iteration."""
+    df = entry.q_dedup_clusters(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert "InMemoryTableScan" in plan
+
+
+def test_term_topk_has_partial_aggregation(spark, sf001):
+    plan = plan_of(entry.q_term_topk(spark, sf001), mode="simple")
+    # explode -> partial agg before the shuffle, final after
+    assert plan.count("HashAggregate") >= 2
+    assert "Generate explode" in plan
