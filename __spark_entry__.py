@@ -983,6 +983,85 @@ def q_sink_table_roundtrip(spark, sf_dir):
     )
 
 
+def q_centroid_distances(spark, sf_dir):
+    """Inter-cluster geometry: pairwise cosine between the quantized
+    per-label centroids — the centroid self-join is k x k (tiny), so the
+    corpus-scale mean computation is persisted and runs once."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    cents = S.kmeans_quantized_update(
+        emb.select(F.col("label").alias("cluster"), F.col("embedding").alias("_vec"))
+    ).persist()
+    a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("_ca"))
+    b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("_cb"))
+    return (
+        a.join(b, a["label_a"] < b["label_b"])
+        .select(
+            "label_a",
+            "label_b",
+            (
+                S.dot(F.col("_ca"), F.col("_cb"))
+                / (S.norm(F.col("_ca")) * S.norm(F.col("_cb")))
+            ).alias("cos_sim"),
+        )
+    )
+
+
+def q_sample_exact_per_stratum(spark, sf_dir):
+    """Exact-N stratified sampling: exactly 50 docs per language, chosen
+    by deterministic hash order (reproducible across runs, engines, and
+    partitionings — rank-based, unlike the rate-based stratified_sample).
+    One window sort per stratum; at 100 TB you'd pre-filter with the
+    rate-based hash sample to ~2N per stratum, then rank the survivors."""
+    from pyspark.sql import Window as SW
+
+    docs = _t(spark, sf_dir, "documents")
+    w = SW.partitionBy("lang").orderBy(
+        TX.hash32(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id", "lang", "source", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 50)
+
+
+def q_bucketed_join_colocated(spark, sf_dir):
+    """Co-located join via bucketing: lineitem and orders are written
+    bucketed by the join key, so the join needs NO Exchange — the 100 TB
+    pattern for repeated fact-fact joins (pay the shuffle once at write
+    time, reuse it every query). Only the final 3-row agg shuffles."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    base = f"/tmp/hri-bucketed-{tag}"
+    li_tbl, o_tbl = f"hri_li_bucketed_{tag}", f"hri_o_bucketed_{tag}"
+    (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/lineitem")
+        .mode("overwrite")
+        .saveAsTable(li_tbl)
+    )
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/orders")
+        .mode("overwrite")
+        .saveAsTable(o_tbl)
+    )
+    li, o = spark.table(li_tbl), spark.table(o_tbl)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1011,6 +1090,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "term_topk": q_term_topk,
         "kmv_distinct": q_kmv_distinct,
+        "centroid_distances": q_centroid_distances,
+        "sample_exact_per_stratum": q_sample_exact_per_stratum,
+        "bucketed_join_colocated": q_bucketed_join_colocated,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -1253,6 +1335,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_text": O.dedup_exact_sql(),
         "minhash_lsh_pairs": O.minhash_lsh_pairs_sql(),
         "dedup_clusters": O.dedup_clusters_sql(),
+        "centroid_distances": f"""
+            WITH means AS ({O.ivf_centroids_sql()}),
+            cent AS (
+              SELECT label, list(mean_val ORDER BY dim_idx) AS centroid
+              FROM means GROUP BY label
+            )
+            SELECT a.label AS label_a, b.label AS label_b,
+                   {O.dot_sql('a.centroid', 'b.centroid')}
+                     / ({O.norm_sql('a.centroid')} * {O.norm_sql('b.centroid')})
+                     AS cos_sim
+            FROM cent a JOIN cent b ON a.label < b.label
+        """,
+        "sample_exact_per_stratum": f"""
+            SELECT doc_id, lang, source,
+                   CAST(row_number() OVER (PARTITION BY lang
+                        ORDER BY {O.hash32("CAST(doc_id AS VARCHAR)")}, doc_id)
+                        AS INTEGER) AS rnk
+            FROM documents
+            QUALIFY rnk <= 50
+        """,
+        "bucketed_join_colocated": """
+            SELECT o.o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                     AS sum_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderstatus
+        """,
         "term_topk": f"""
             WITH t AS (
               SELECT lang, unnest({O.tokens('text')}) AS term FROM documents

@@ -124,3 +124,22 @@ def test_term_topk_has_partial_aggregation(spark, sf001):
     # explode -> partial agg before the shuffle, final after
     assert plan.count("HashAggregate") >= 2
     assert "Generate explode" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf001):
+    """With auto-broadcast off (simulating two at-scale fact tables), the
+    bucketed join must be a zero-Exchange sort-merge over bucketed scans."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(entry.q_bucketed_join_colocated(spark, sf001))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Bucketed: true") == 2
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_centroid_distances_persists_centroids(spark, sf001):
+    plan = plan_of(entry.q_centroid_distances(spark, sf001), mode="simple")
+    assert "InMemoryTableScan" in plan  # corpus-scale means run once
