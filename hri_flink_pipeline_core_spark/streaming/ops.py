@@ -78,3 +78,35 @@ def stream_stream_interval_join(
         & (rw[right_time] <= F.expr(f"{left_time} + INTERVAL {upper}"))
     )
     return lw.join(rw, cond, how)
+
+
+def streaming_session_agg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Session-window aggregation (gap-merged) usable from streaming or
+    batch with identical results.
+
+    Streaming state is one open session per key, closed and emitted once
+    the watermark passes session_end + delay — the event-time analog of
+    the reference Tracker's processing-time completion timer
+    (Tracker.scala:93-118), generalized to per-key activity sessions.
+    """
+    src = df.withWatermark(ts_col, delay) if df.isStreaming else df
+    return (
+        src.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("session_sum"),
+        )
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_sum",
+        )
+    )

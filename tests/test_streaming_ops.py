@@ -118,3 +118,48 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
 
     assert sorted((r.anchor_id, r.event_id) for r in out) == expected
+
+
+def test_streaming_session_agg_matches_batch(spark, tmp_path):
+    """Gap-merged sessions computed by the streaming path (file source,
+    availableNow, append mode) must equal the batch path over the same
+    data for every session the watermark has closed; with a final
+    sentinel event far in the future, that is ALL real sessions."""
+    from hri_flink_pipeline_core_spark.streaming.ops import streaming_session_agg
+
+    in_dir = str(tmp_path / "sess-in")
+    ckpt = str(tmp_path / "sess-ckpt")
+    rows = []
+    for u in (1, 2):
+        # two bursts per user separated by > gap -> 2 sessions each
+        rows += [Row(user_id=u, ts=ts(i), value=float(i)) for i in (0, 5, 10)]
+        rows += [Row(user_id=u, ts=ts(120 + i), value=float(i)) for i in (0, 3)]
+    # watermark-flush sentinel: one distant event per user closes all
+    # real sessions under append mode
+    rows += [Row(user_id=9, ts=ts(10_000), value=0.0)]
+    schema = "user_id int, ts timestamp, value double"
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(in_dir)
+
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.session_sum)
+        for r in streaming_session_agg(spark.read.parquet(in_dir)).collect()
+        if r.user_id != 9
+    }
+    assert len(batch) == 4  # 2 users x 2 sessions
+
+    out = []
+    q = (
+        streaming_session_agg(spark.readStream.schema(schema).parquet(in_dir))
+        .writeStream.foreachBatch(lambda df, _b: out.extend(df.collect()))
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.session_sum)
+        for r in out
+        if r.user_id != 9
+    }
+    assert got == batch
