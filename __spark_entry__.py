@@ -983,6 +983,61 @@ def q_sink_table_roundtrip(spark, sf_dir):
     )
 
 
+def q_salted_join_skewed(spark, sf_dir):
+    """Skew-mitigated join on a 5-value hot key: events (all rows share
+    5 event_type values — worst-case key skew) joined to a per-type
+    stats dim with the composite (key, salt) spreading each hot key over
+    16 reducers; shuffle-hash pinned so the salting path is the one
+    exercised. Output: events above their type's average value
+    (cross-multiplied to stay in exact decimal)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    joined = R.join_salted(ev, dim, "event_type", salt_buckets=16, force_shuffle=True)
+    return joined.filter(
+        F.col("value").cast("decimal(18,4)") * F.col("_n") > F.col("_tot")
+    ).select("event_id", "event_type", "value")
+
+
+def q_resample_ffill(spark, sf_dir):
+    """Time-series regularization: per-user hourly resample over each
+    user's active range (grid via sequence+explode — no driver loop),
+    LEFT join of the sparse hourly aggregate, forward-fill with
+    last(ignore nulls) over an ordered frame. The grid is generated
+    per-key on the executors, so a 100 TB corpus resamples without any
+    driver-side materialization."""
+    from pyspark.sql import Window as SW
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hh")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("hour_sum"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hh"),
+    )
+    w = SW.partitionBy("user_id").orderBy("hh").rowsBetween(
+        SW.unboundedPreceding, 0
+    )
+    return grid.join(hourly, ["user_id", "hh"], "left").select(
+        "user_id",
+        "hh",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("long")).alias("n_events"),
+        F.last(F.col("hour_sum"), ignorenulls=True).over(w).alias("filled_sum"),
+    )
+
+
 def q_centroid_distances(spark, sf_dir):
     """Inter-cluster geometry: pairwise cosine between the quantized
     per-label centroids — the centroid self-join is k x k (tiny), so the
@@ -1091,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_topk": q_term_topk,
         "kmv_distinct": q_kmv_distinct,
         "centroid_distances": q_centroid_distances,
+        "salted_join_skewed": q_salted_join_skewed,
+        "resample_ffill": q_resample_ffill,
         "sample_exact_per_stratum": q_sample_exact_per_stratum,
         "bucketed_join_colocated": q_bucketed_join_colocated,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1346,6 +1403,44 @@ def oracle_sql() -> dict[str, str]:
                      / ({O.norm_sql('a.centroid')} * {O.norm_sql('b.centroid')})
                      AS cos_sim
             FROM cent a JOIN cent b ON a.label < b.label
+        """,
+        "salted_join_skewed": """
+            SELECT e.event_id, e.event_type, e.value
+            FROM events e
+            JOIN (SELECT event_type,
+                         SUM(CAST(value AS DECIMAL(18,4))) AS _tot,
+                         COUNT(*) AS _n
+                  FROM events GROUP BY event_type) d
+              ON e.event_type = d.event_type
+            WHERE CAST(e.value AS DECIMAL(18,4)) * d._n > d._tot
+        """,
+        "resample_ffill": """
+            WITH ev AS (SELECT * FROM events WHERE user_id < 20),
+            hourly AS (
+              SELECT user_id, date_trunc('hour', ts) AS hh,
+                     CAST(COUNT(*) AS BIGINT) AS n_events,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       AS hour_sum
+              FROM ev GROUP BY user_id, hh
+            ),
+            bounds AS (
+              SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+                     date_trunc('hour', max(ts)) AS h1
+              FROM ev GROUP BY user_id
+            ),
+            grid AS (
+              SELECT user_id,
+                     unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hh
+              FROM bounds
+            )
+            SELECT g.user_id, g.hh,
+                   CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+                   last_value(h.hour_sum IGNORE NULLS) OVER (
+                     PARTITION BY g.user_id ORDER BY g.hh
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS filled_sum
+            FROM grid g LEFT JOIN hourly h
+              ON g.user_id = h.user_id AND g.hh = h.hh
         """,
         "sample_exact_per_stratum": f"""
             SELECT doc_id, lang, source,

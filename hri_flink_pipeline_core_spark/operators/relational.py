@@ -64,16 +64,23 @@ def join_salted(
     key: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    force_shuffle: bool = False,
 ) -> DataFrame:
     """`join.salted` — explicit skew mitigation for a hot key when AQE's
     runtime skew-join isn't available (e.g. inside foreachBatch on older
-    configs): salt the big side, explode the small side."""
+    configs): salt the big side, explode the small side.
+
+    ``force_shuffle`` pins a shuffle-hash join (hint on the exploded
+    side); without it Catalyst may broadcast a small dim, which is the
+    right plan but leaves the salting path unexercised."""
     salted_left = left.withColumn(
         "_salt", (F.pmod(F.hash(F.monotonically_increasing_id()), salt_buckets))
     )
     salted_right = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
+    if force_shuffle:
+        salted_right = salted_right.hint("shuffle_hash")
     out = salted_left.join(salted_right, [key, "_salt"], how)
     return out.drop("_salt")
 

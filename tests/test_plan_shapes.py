@@ -143,3 +143,9 @@ def test_bucketed_join_has_no_exchange(spark, sf001):
 def test_centroid_distances_persists_centroids(spark, sf001):
     plan = plan_of(entry.q_centroid_distances(spark, sf001), mode="simple")
     assert "InMemoryTableScan" in plan  # corpus-scale means run once
+
+
+def test_salted_join_is_shuffled_on_composite_key(spark, sf001):
+    plan = plan_of(entry.q_salted_join_skewed(spark, sf001))
+    assert "ShuffledHashJoin" in plan  # pinned; broadcast would skip salting
+    assert "_salt" in plan  # composite (key, salt) partitioning
