@@ -983,6 +983,70 @@ def q_sink_table_roundtrip(spark, sf_dir):
     )
 
 
+_CHUNK, _STRIDE = 64, 48
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Context-window chunking: split each doc into 64-token windows with
+    stride 48 (16-token overlap) — the sequence-prep step before packing.
+    Pure Column math (explode over a per-row index sequence + slice);
+    chunk identity is content-hashed so the oracle compares values, not
+    megabytes of text."""
+    docs = _tp(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n = F.size(toks)
+    extra = F.greatest(n - _CHUNK, F.lit(0))
+    # integer ceil-div via floor of an exact double division (token
+    # counts << 2^53, so the double math is exact in both engines)
+    n_chunks = (
+        F.lit(1) + F.floor((extra + F.lit(_STRIDE - 1)) / F.lit(_STRIDE))
+    ).cast("int")
+    base = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("_toks"), F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+    return base.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("chunk_tokens"),
+        TX.hash32(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+def q_doc_rarity(spark, sf_dir):
+    """Rare-vocabulary scoring (IDF-flavored, exact-arithmetic): per doc,
+    how much of its distinct vocabulary is corpus-rare (document
+    frequency <= 2). The df table is a term-keyed aggregate joined back
+    on term — both sides partial-aggregate before their shuffles; all
+    outputs are integer counts plus one int/int double ratio, so the
+    cross-engine comparison is exact (unlike log-based IDF, where libm
+    differences break bit-equality)."""
+    docs = _tp(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(TX.tokens(F.col("text")))).alias("term"),
+    )
+    dfreq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(dfreq, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(F.when(F.col("df") <= 2, 1).otherwise(0)).alias("n_rare"),
+            F.min("df").alias("min_df"),
+        )
+        .select(
+            "doc_id",
+            "n_terms",
+            "n_rare",
+            "min_df",
+            (F.col("n_rare") / F.col("n_terms")).alias("rare_ratio"),
+        )
+    )
+
+
 def q_salted_join_skewed(spark, sf_dir):
     """Skew-mitigated join on a 5-value hot key: events (all rows share
     5 event_type values — worst-case key skew) joined to a per-type
@@ -1148,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_distances": q_centroid_distances,
         "salted_join_skewed": q_salted_join_skewed,
         "resample_ffill": q_resample_ffill,
+        "doc_chunks": q_doc_chunks,
+        "doc_rarity": q_doc_rarity,
         "sample_exact_per_stratum": q_sample_exact_per_stratum,
         "bucketed_join_colocated": q_bucketed_join_colocated,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1403,6 +1469,49 @@ def oracle_sql() -> dict[str, str]:
                      / ({O.norm_sql('a.centroid')} * {O.norm_sql('b.centroid')})
                      AS cos_sim
             FROM cent a JOIN cent b ON a.label < b.label
+        """,
+        "doc_chunks": f"""
+            WITH t AS (
+              SELECT doc_id, {O.tokens('text')} AS toks FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, toks,
+                     CAST(1 + floor((greatest(len(toks) - {_CHUNK}, 0)
+                                     + {_STRIDE - 1}) / {_STRIDE}.0) AS INTEGER)
+                       AS n_chunks
+              FROM t
+            ),
+            idx AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, n_chunks)) AS chunk_idx
+              FROM sized
+            )
+            SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                   CAST(len(toks[(chunk_idx * {_STRIDE} + 1):(chunk_idx * {_STRIDE} + {_CHUNK})])
+                        AS INTEGER) AS chunk_tokens,
+                   {O.hash32(f"array_to_string(toks[(chunk_idx * {_STRIDE} + 1):(chunk_idx * {_STRIDE} + {_CHUNK})], ' ')")}
+                     AS chunk_hash
+            FROM idx
+        """,
+        "doc_rarity": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_distinct({O.tokens('text')})) AS term
+              FROM documents
+            ),
+            dfreq AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM toks GROUP BY term
+            )
+            SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_rare,
+                   MIN(d.df) AS min_df,
+                   CAST(SUM(CASE WHEN d.df <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*) AS rare_ratio
+            FROM toks t JOIN dfreq d ON t.term = d.term
+            GROUP BY t.doc_id
         """,
         "salted_join_skewed": """
             SELECT e.event_id, e.event_type, e.value
