@@ -983,6 +983,42 @@ def q_sink_table_roundtrip(spark, sf_dir):
     )
 
 
+def q_scd2_intervals(spark, sf_dir):
+    """Slowly-changing-dimension (type 2) interval builder: each event
+    becomes a version row with [valid_from, valid_to) from lead() and a
+    current-version flag — the history-table form of latest_per_key
+    (generalizing the broadcast-state last-write-wins of
+    ValidationProcessFunction.scala:215-224 into full version history)."""
+    from pyspark.sql import Window as SW
+
+    ev = _t(spark, sf_dir, "events")
+    w = SW.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+def q_value_histogram(spark, sf_dir):
+    """Fixed-width histogram (20 bins over order totals): one partial-
+    aggregated groupBy on a computed bin key — the profiling primitive
+    for quality cutoffs at scale. Bin math in exact integer/floor form."""
+    o = _t(spark, sf_dir, "orders")
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(30000.0)), F.lit(19)
+    ).cast("int")
+    return (
+        o.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("bin_total"),
+        )
+    )
+
+
 _CHUNK, _STRIDE = 64, 48
 
 
@@ -1214,6 +1250,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_ffill": q_resample_ffill,
         "doc_chunks": q_doc_chunks,
         "doc_rarity": q_doc_rarity,
+        "scd2_intervals": q_scd2_intervals,
+        "value_histogram": q_value_histogram,
         "sample_exact_per_stratum": q_sample_exact_per_stratum,
         "bucketed_join_colocated": q_bucketed_join_colocated,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1469,6 +1507,22 @@ def oracle_sql() -> dict[str, str]:
                      / ({O.norm_sql('a.centroid')} * {O.norm_sql('b.centroid')})
                      AS cos_sim
             FROM cent a JOIN cent b ON a.label < b.label
+        """,
+        "scd2_intervals": """
+            SELECT event_id, user_id,
+                   ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "value_histogram": """
+            SELECT CAST(least(floor(o_totalprice / 30000.0), 19) AS INTEGER)
+                     AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                     AS bin_total
+            FROM orders GROUP BY bin
         """,
         "doc_chunks": f"""
             WITH t AS (
