@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the custom operators whose edge
+cases are hardest to enumerate by hand: the as-of join (tie handling,
+missing right rows, duplicate timestamps) and connected components
+(arbitrary small graphs). Each is checked against an independent
+reference implementation (pandas merge_asof / pure-Python union-find),
+NOT against our own Spark code.
+
+Spark actions are slow, so examples are few but each is a whole dataset;
+deadlines are disabled for the same reason.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from hri_flink_pipeline_core_spark.operators.asof import asof_join
+from hri_flink_pipeline_core_spark.operators.dedup import connected_components
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+rows_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, time)
+    min_size=1,
+    max_size=25,
+)
+rows_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=rows_left, right=rows_right)
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, t long, lid int"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, v) for (k, t, v) in right], "k int, rt long, v int"
+    )
+    got = {
+        (r.lid, r.v)
+        for r in asof_join(
+            ldf, rdf, keys=["k"], left_time="t", right_time="rt",
+            right_cols=["v"], right_tiebreak="v",
+        ).collect()
+    }
+
+    lp = pd.DataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], columns=["k", "t", "lid"]
+    ).sort_values(["t", "lid"], kind="stable")
+    # merge_asof takes the LAST right row <= t in sort order; sorting by
+    # (rt, v) makes the highest v win ties, matching right_tiebreak="v"
+    rp = pd.DataFrame(right, columns=["k", "rt", "v"]).sort_values(
+        ["rt", "v"], kind="stable"
+    )
+    if len(rp):
+        merged = pd.merge_asof(
+            lp, rp, left_on="t", right_on="rt", by="k", direction="backward"
+        )
+        expected = {
+            (int(r.lid), None if pd.isna(r.v) else int(r.v))
+            for r in merged.itertuples()
+        }
+    else:
+        expected = {(int(r.lid), None) for r in lp.itertuples()}
+    assert got == expected
+
+
+pairs_strategy = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _union_find_components(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(pairs=pairs_strategy)
+@settings(**{**_SETTINGS, "max_examples": 6})
+def test_connected_components_matches_union_find(spark, pairs):
+    pdf = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "doc_a long, doc_b long"
+    )
+    # plain min-label propagation moves the min one hop per round, so
+    # node-count rounds cover the worst case (an 8-node path)
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pdf, iterations=7).collect()
+    }
+    expected = {
+        (n, root) for n, root in _union_find_components(pairs).items()
+    }
+    assert got == expected
