@@ -983,6 +983,40 @@ def q_sink_table_roundtrip(spark, sf_dir):
     )
 
 
+def q_stats_moments(spark, sf_dir):
+    """Moment statistics (mean / population variance / correlation) per
+    key with cross-engine-exact results: raw moments accumulate in exact
+    DECIMAL (order-independent), convert once to double (correctly
+    rounded, identical in both engines), then combine in a fixed IEEE
+    expression order. Built-in var_pop/corr accumulate in floating point
+    and are partition-order dependent — unusable against a value-hash
+    oracle; this shape is also the single-shuffle partial-agg form."""
+    ev = _t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(18,4)")
+    y = F.hour("ts").cast("decimal(18,4)")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("_sx"),
+        F.sum(y).cast("double").alias("_sy"),
+        F.sum(x * x).cast("double").alias("_sxx"),
+        F.sum(y * y).cast("double").alias("_syy"),
+        F.sum(x * y).cast("double").alias("_sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("_sx"), F.col("_sy")
+    sxx, syy, sxy = F.col("_sxx"), F.col("_syy"), F.col("_sxy")
+    return agg.select(
+        "event_type",
+        n.alias("n"),
+        (sx / n).alias("mean_value"),
+        ((n * sxx - sx * sx) / (n * n)).alias("var_pop_value"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_value_hour"),
+    )
+
+
 def q_scd2_intervals(spark, sf_dir):
     """Slowly-changing-dimension (type 2) interval builder: each event
     becomes a version row with [valid_from, valid_to) from lead() and a
@@ -1252,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rarity": q_doc_rarity,
         "scd2_intervals": q_scd2_intervals,
         "value_histogram": q_value_histogram,
+        "stats_moments": q_stats_moments,
         "sample_exact_per_stratum": q_sample_exact_per_stratum,
         "bucketed_join_colocated": q_bucketed_join_colocated,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1507,6 +1542,28 @@ def oracle_sql() -> dict[str, str]:
                      / ({O.norm_sql('a.centroid')} * {O.norm_sql('b.centroid')})
                      AS cos_sim
             FROM cent a JOIN cent b ON a.label < b.label
+        """,
+        "stats_moments": """
+            WITH agg AS (
+              SELECT event_type,
+                     CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                     CAST(SUM(CAST(hour(ts) AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))
+                              * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                     CAST(SUM(CAST(hour(ts) AS DECIMAL(18,4))
+                              * CAST(hour(ts) AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+                     CAST(SUM(CAST(value AS DECIMAL(18,4))
+                              * CAST(hour(ts) AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+              FROM events GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   sx / n AS mean_value,
+                   (n * sxx - sx * sx) / (n * n) AS var_pop_value,
+                   (n * sxy - sx * sy)
+                     / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                     AS corr_value_hour
+            FROM agg
         """,
         "scd2_intervals": """
             SELECT event_id, user_id,
