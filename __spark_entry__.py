@@ -843,6 +843,96 @@ def q_tpch_q19_bracket_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): per order-year, the share
+    of one supplier nation's revenue within one customer region. Every
+    dim broadcasts; the numerator rides as a conditional decimal sum on
+    the same joined row set (one pass, no second join)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "REGION_1")
+    n_cust = _t(spark, sf_dir, "nation")
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    joined = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n_cust), c["c_nationkey"] == n_cust["n_nationkey"])
+        .join(F.broadcast(r), n_cust["n_regionkey"] == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n_supp), s["s_nationkey"] == F.col("_sn_key"))
+    )
+    zero = F.lit("0").cast("decimal(18,4)")
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", _disc_price()).otherwise(zero)
+            ).cast("double").alias("nation_revenue"),
+            F.sum(_disc_price()).cast("double").alias("total_revenue"),
+        )
+        .select(
+            "o_year",
+            "nation_revenue",
+            "total_revenue",
+            (F.col("nation_revenue") / F.col("total_revenue")).alias("mkt_share"),
+        )
+    )
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): quarterly revenue per supplier,
+    keep the max-revenue supplier(s) via a 1-row broadcast max — the
+    view + scalar-subquery form, aggregate-then-join."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_disc_price()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems below
+    20% of their part's average quantity. The correlated avg subquery
+    becomes an aggregate-then-join on partkey; the comparison is
+    cross-multiplied (qty * 5 * n < sum) to stay in exact decimal."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "BRAND_5")
+    per_part = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_qsum"),
+        F.count(F.lit(1)).alias("_qn"),
+    )
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).join(
+        per_part, li["l_partkey"] == F.col("_pk")
+    )
+    small = joined.filter(
+        F.col("l_quantity").cast("decimal(18,4)") * 5 * F.col("_qn") < F.col("_qsum")
+    )
+    return small.agg(
+        (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 def q_tpch_q22_idle_customers(spark, sf_dir):
     """TPC-H Q22 shape (global sales opportunity): rich customers with no
     urgent orders — scalar-subquery average (cross-multiplied to stay in
@@ -1322,6 +1412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
         "range_frame_window": q_range_frame_window,
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
@@ -2003,6 +2096,65 @@ def oracle_sql() -> dict[str, str]:
                    AND l.l_quantity BETWEEN 10 AND 20)
                OR (p.p_brand = 'BRAND_3' AND p.p_size BETWEEN 1 AND 35
                    AND l.l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q8_market_share": """
+            WITH j AS (
+              SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                     sn.n_name AS supp_nation,
+                     CAST(l.l_extendedprice AS DECIMAL(18,4))
+                       * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS vol
+              FROM lineitem l
+              JOIN part p     ON l.l_partkey = p.p_partkey
+              JOIN orders o   ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+              JOIN region r   ON cn.n_regionkey = r.r_regionkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+              WHERE r.r_name = 'REGION_1' AND p.p_type = 'ECONOMY'
+                AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+            )
+            SELECT o_year,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                                 ELSE CAST('0' AS DECIMAL(18,4)) END) AS DOUBLE)
+                     AS nation_revenue,
+                   CAST(SUM(vol) AS DOUBLE) AS total_revenue,
+                   CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                                 ELSE CAST('0' AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+            FROM j GROUP BY o_year
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, rev.total_revenue
+            FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+            WHERE rev.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        """,
+        "tpch_q17_small_qty_revenue": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     SUM(CAST(l_quantity AS DECIMAL(18,4))) AS _qsum,
+                     COUNT(*) AS _qn
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / 7.0 AS avg_yearly,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN per_part pp ON l.l_partkey = pp.l_partkey
+            WHERE p.p_brand = 'BRAND_5'
+              AND CAST(l.l_quantity AS DECIMAL(18,4)) * 5 * pp._qn < pp._qsum
         """,
         "tpch_q22_idle_customers": """
             WITH pos AS (
