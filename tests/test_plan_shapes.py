@@ -89,7 +89,11 @@ def test_tpch_q18_aggregates_before_join(spark, sf001):
 
 
 def test_tpch_q7_q10_dims_broadcast(spark, sf001):
-    for q in (entry.q_tpch_q7_nation_volume, entry.q_tpch_q10_returned_items):
+    for q in (
+        entry.q_tpch_q7_nation_volume,
+        entry.q_tpch_q10_returned_items,
+        entry.q_tpch_q8_market_share,
+    ):
         plan = plan_of(q(spark, sf001))
         assert "BroadcastHashJoin" in plan
         # only the lineitem<->orders fact join may shuffle-join
