@@ -1341,9 +1341,107 @@ def q_bucketed_join_colocated(spark, sf_dir):
     )
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics without a table format (operators/relational.py
+    merge_upsert): an updates delta wins on key collision, unmatched base
+    rows pass through — the incremental-corpus-refresh primitive. One
+    anti-join + union; AQE broadcasts the delta when it is small, and at
+    100 TB bucketing both tables on the merge key makes the anti-join
+    Exchange-free (generalizes ValidationProcessFunction.scala:215-224
+    last-write-wins map-state to whole-table refresh)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 4 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    upd = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(1.05)).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    return R.merge_upsert(base, upd, ["o_orderkey"])
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """CDC between two snapshots (operators/relational.py snapshot_diff):
+    full-outer join on the key, classify insert/delete/update with
+    null-safe value comparison, emit old and new values side by side.
+    One shuffle join (zero-Exchange when both snapshots are bucketed)."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 5 != 0).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return R.snapshot_diff(old, new, ["o_orderkey"], ["o_totalprice"])
+
+
+def q_pii_redact(spark, sf_dir):
+    """Training-corpus PII scrub (operators/text.py pii_redact): chained
+    JVM regexp passes for emails / phone shapes / long digit runs — no
+    UDF, pure map stage, scales linearly. The synthetic corpus has no
+    PII, so the query deterministically injects a doc_id-derived
+    email + phone + numeric id into each document before scrubbing,
+    making every regex fire and the oracle comparison meaningful."""
+    docs = _tp(spark, sf_dir, "documents")
+    combined = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ref "),
+        (F.col("doc_id") * 7919 + 1000).cast("string"),
+        F.lit(" call 555-012-"),
+        (F.col("doc_id") % 9000 + 1000).cast("string"),
+    )
+    redacted = TX.pii_redact(combined)
+    email_pat, num_pat = TX.PII_PATTERNS[0][0], TX.PII_PATTERNS[2][0]
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(combined, F.lit(email_pat), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(combined, F.lit(num_pat), 0)).alias("n_num"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def q_edit_distance_pairs(spark, sf_dir):
+    """Near-dup verification by exact edit distance: pair each document
+    with the next doc_id in its source (lead window), Levenshtein over
+    the lowercased 64-char prefix, keep pairs under a distance cap.
+    The window sorts within each source partition only; at 100 TB the
+    candidate pairs would come from MinHash/SimHash LSH (see
+    minhash_lsh_pairs) and this exact pass runs only on candidates."""
+    from pyspark.sql import Window as SW
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring(F.lower(F.col("text")), 1, 64).alias("prefix")
+    )
+    w = SW.partitionBy("source").orderBy("doc_id")
+    paired = docs.select(
+        "doc_id",
+        "prefix",
+        F.lead("doc_id").over(w).alias("next_id"),
+        F.lead("prefix").over(w).alias("next_prefix"),
+    )
+    return (
+        paired.filter(F.col("next_id").isNotNull())
+        .select(
+            "doc_id",
+            "next_id",
+            F.levenshtein("prefix", "next_prefix").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 48)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
+        "merge_upsert": q_merge_upsert,
+        "snapshot_diff": q_snapshot_diff,
+        "pii_redact": q_pii_redact,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "asof_latest_order": q_asof_latest_order,
         "interval_join_anchor_windows": q_interval_join_anchor_windows,
         "sink_table_roundtrip": q_sink_table_roundtrip,
@@ -1446,6 +1544,85 @@ _DIM_SQL = """
 def oracle_sql() -> dict[str, str]:
     routed = TD.SQL_ROUTED_EVENTS
     return {
+        "merge_upsert": """
+            WITH base AS (
+              SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 4 <> 0
+            ), upd AS (
+              SELECT o_orderkey,
+                     o_totalprice * CAST(1.05 AS DOUBLE) AS o_totalprice,
+                     'U' AS o_orderstatus
+              FROM orders WHERE o_orderkey % 2 = 0
+            )
+            SELECT * FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey)
+            UNION ALL
+            SELECT * FROM upd
+        """,
+        "snapshot_diff": """
+            WITH old_s AS (
+              SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 5 <> 0
+            ), new_s AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 7 <> 0
+            )
+            SELECT * FROM (
+              SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                          WHEN n.o_orderkey IS NULL THEN 'delete'
+                          WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                            THEN 'update'
+                          ELSE 'unchanged' END AS change_type,
+                     o.o_totalprice AS old_o_totalprice,
+                     n.o_totalprice AS new_o_totalprice
+              FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey
+            ) WHERE change_type <> 'unchanged'
+        """,
+        "pii_redact": """
+            WITH c AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com ref '
+                          || CAST(doc_id * 7919 + 1000 AS VARCHAR)
+                          || ' call 555-012-'
+                          || CAST(doc_id % 9000 + 1000 AS VARCHAR) AS combined
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(combined,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT)
+                     AS n_email,
+                   CAST(len(regexp_extract_all(combined, '[0-9]{4,}')) AS INT)
+                     AS n_num,
+                   CAST(length(regexp_replace(regexp_replace(regexp_replace(combined,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}', '<PHONE>', 'g'),
+                     '[0-9]{4,}', '<NUM>', 'g')) AS INT) AS redacted_len,
+                   md5(regexp_replace(regexp_replace(regexp_replace(combined,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}', '<PHONE>', 'g'),
+                     '[0-9]{4,}', '<NUM>', 'g')) AS redacted_md5
+            FROM c
+        """,
+        "edit_distance_pairs": """
+            WITH p AS (
+              SELECT doc_id, source, substr(lower(text), 1, 64) AS prefix
+              FROM documents
+            ), q AS (
+              SELECT doc_id, prefix,
+                     lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+                       AS next_id,
+                     lead(prefix) OVER (PARTITION BY source ORDER BY doc_id)
+                       AS next_prefix
+              FROM p
+            )
+            SELECT doc_id, next_id,
+                   CAST(levenshtein(prefix, next_prefix) AS INT) AS edit_dist
+            FROM q
+            WHERE next_id IS NOT NULL AND levenshtein(prefix, next_prefix) <= 48
+        """,
         "asof_latest_order": """
             SELECT e.event_id, e.user_id,
                    o2.o_orderkey AS asof_orderkey,

@@ -141,3 +141,69 @@ def dedup_exact(df: DataFrame, keys: Optional[Sequence[str]] = None) -> DataFram
     """`dedup` (exact) — hash-aggregate on the key columns (or all
     columns). dropDuplicates = groupBy+first, partial-agg friendly."""
     return df.dropDuplicates(list(keys) if keys else None)
+
+
+# --- table maintenance (north star: incremental corpus refresh) --------------
+
+def merge_upsert(
+    base: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """`merge.upsert` — MERGE INTO semantics without a table format:
+    rows from ``updates`` win on key collision; unmatched ``base`` rows
+    pass through. Generalizes the reference's last-write-wins broadcast
+    state (ValidationProcessFunction.scala:215-224) from a keyed map to a
+    whole table refresh.
+
+    Plan: one anti-join (base ⟕̸ updates on keys) + union. Both sides
+    hash-partition on the keys — at 100 TB, bucket both tables on the
+    merge keys so the anti-join is co-located and Exchange-free; the
+    union is partition-local either way. AQE broadcasts `updates`
+    when the delta is small (the common incremental-refresh case)."""
+    survivors = base.join(updates.select(*keys), list(keys), "left_anti")
+    return survivors.unionByName(updates)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """`cdc.snapshot_diff` — change-data-capture between two snapshots:
+    full-outer join on the keys, classify each key as insert / delete /
+    update (any compare column differs) / unchanged, and emit the
+    changed rows with old/new values side by side.
+
+    Scale: one full-outer shuffle join on the keys (or zero Exchanges if
+    both snapshots are bucketed on them); null-safe equality (`eqNullSafe`)
+    so NULL→value transitions register as updates."""
+    keys = list(keys)
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    for c in keys + list(compare_cols):
+        o = o.withColumnRenamed(c, f"_o_{c}")
+        n = n.withColumnRenamed(c, f"_n_{c}")
+    cond = None
+    for k in keys:
+        e = o[f"_o_{k}"] == n[f"_n_{k}"]
+        cond = e if cond is None else (cond & e)
+    j = o.join(n, cond, "full_outer")
+    old_present = F.coalesce(*[j[f"_o_{k}"].isNotNull() for k in keys], F.lit(False))
+    new_present = F.coalesce(*[j[f"_n_{k}"].isNotNull() for k in keys], F.lit(False))
+    changed = None
+    for c in compare_cols:
+        d = ~j[f"_o_{c}"].eqNullSafe(j[f"_n_{c}"])
+        changed = d if changed is None else (changed | d)
+    change = (
+        F.when(~old_present, F.lit("insert"))
+        .when(~new_present, F.lit("delete"))
+        .when(changed, F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.withColumn("change_type", change).filter(F.col("change_type") != "unchanged")
+    sel = [F.coalesce(out[f"_o_{k}"], out[f"_n_{k}"]).alias(k) for k in keys]
+    sel.append(F.col("change_type"))
+    for c in compare_cols:
+        sel.append(out[f"_o_{c}"].alias(f"old_{c}"))
+        sel.append(out[f"_n_{c}"].alias(f"new_{c}"))
+    return out.select(*sel)

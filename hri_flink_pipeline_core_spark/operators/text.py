@@ -139,6 +139,28 @@ def normalized_md5(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
+# PII scrub patterns — restricted to the regex subset that Java
+# (Spark codegen) and RE2-style engines (DuckDB oracle) evaluate
+# identically: literal classes, bounded/unbounded counted repetition.
+# Order matters: the email/phone shapes contain digit runs, so they
+# must be replaced before the bare <NUM> rule fires.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}", "<PHONE>"),
+    (r"[0-9]{4,}", "<NUM>"),
+]
+
+
+def pii_redact(text: Column) -> Column:
+    """Training-corpus PII scrub: chained whole-string regexp_replace
+    (emails, phone shapes, long digit runs). Each replace is a codegen'd
+    JVM regex pass — no UDF, scales as a pure map stage."""
+    out = text
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
 # --- distributed (explode + codegen) forms ---------------------------------
 # Spark evaluates higher-order-function lambdas (transform/aggregate) in
 # the INTERPRETED expression path — md5 inside a lambda runs ~40x slower
