@@ -153,3 +153,32 @@ def test_salted_join_is_shuffled_on_composite_key(spark, sf001):
     plan = plan_of(entry.q_salted_join_skewed(spark, sf001))
     assert "ShuffledHashJoin" in plan  # pinned; broadcast would skip salting
     assert "_salt" in plan  # composite (key, salt) partitioning
+
+
+def test_merge_upsert_is_single_anti_join_plus_union(spark, sf001):
+    """merge_upsert = one anti-join + union: no join beyond the anti,
+    and the scans prune to the selected columns only."""
+    df = entry.q_merge_upsert(spark, sf001)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan
+    assert plan.count("Join") <= plan.count("LeftAnti") + plan.count("Union")
+    assert "Union" in plan
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark, sf001):
+    """snapshot_diff = exactly one full-outer join; the
+    change-classification is pure projection (no extra shuffle)."""
+    df = entry.q_snapshot_diff(spark, sf001)
+    plan = plan_of(df)
+    assert "FullOuter" in plan
+    # two Exchanges max (one per join side); classification adds none
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_pii_redact_is_scan_shaped(spark, sf001):
+    """PII scrub must stay a pure map stage: no Exchange at all, and
+    only the two referenced columns read from the scan."""
+    df = entry.q_pii_redact(spark, sf001)
+    plan = plan_of(df)
+    assert "Exchange hashpartitioning" not in plan
+    assert "ReadSchema" in plan and "text" in plan and "lang" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
