@@ -236,3 +236,60 @@ def parquet_dir_sink(root: str) -> BatchSink:
         df.write.mode("overwrite").parquet(os.path.join(root, f"batch={batch_id}"))
 
     return write
+
+
+def upsert_parquet_sink(
+    root: str, keys: list[str], order_col: str | None = None
+) -> BatchSink:
+    """MERGE-into-table streaming sink on plain parquet: each micro-batch
+    delta is upserted (operators/relational.py merge_upsert) into the
+    current snapshot, written as a new immutable version directory
+    ``v{batch_id}``, then a ``_LATEST`` pointer file is atomically swapped
+    (os.replace). This is the minimal form of what Delta/Iceberg MERGE
+    does: versioned immutable snapshots + an atomic pointer commit.
+
+    Replay-idempotence: upsert of the same delta is a semantic no-op, and
+    a replayed batch id is detected via the pointer (skip) — so restart
+    after any crash point (before write, after write/before swap, after
+    swap) converges to the same table. Within-batch duplicates collapse
+    via latest_per_key on ``order_col`` (or dropDuplicates without one).
+
+    Scale notes: each commit rewrites the full snapshot — correct for
+    dimension-table upkeep (the reference's notification dim, batch
+    metadata), wrong for fact streams (use parquet_dir_sink partitions
+    there). On object stores, replace os.replace with a conditional-put
+    of the pointer object."""
+    from hri_flink_pipeline_core_spark.operators.relational import (
+        dedup_exact,
+        latest_per_key,
+        merge_upsert,
+    )
+
+    latest_path = os.path.join(root, "_LATEST")
+
+    def write(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        version_dir = os.path.join(root, f"v{batch_id}")
+        delta = (
+            latest_per_key(df, keys, order_col)
+            if order_col
+            else dedup_exact(df, keys)
+        )
+        base_dir = None
+        if os.path.exists(latest_path):
+            with open(latest_path) as fh:
+                base_dir = fh.read().strip()
+        if base_dir == version_dir:
+            return  # replayed batch already committed
+        merged = (
+            merge_upsert(spark.read.parquet(base_dir), delta, keys)
+            if base_dir
+            else delta
+        )
+        merged.write.mode("overwrite").parquet(version_dir)
+        tmp = latest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(version_dir)
+        os.replace(tmp, latest_path)
+
+    return write
