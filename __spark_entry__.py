@@ -1435,9 +1435,60 @@ def q_edit_distance_pairs(spark, sf_dir):
     )
 
 
+def q_bigram_topk(spark, sf_dir):
+    """Global top-25 word bigrams: adjacent-token pairs via
+    arrays_zip(slice, slice) — a pure map stage (no corpus shuffle; the
+    posexplode+self-join alternative would shuffle the whole token
+    stream) — then explode + partial-agg groupBy, deterministic rank
+    tie-broken by bigram text. At 100 TB the final single-partition
+    rank window runs over per-bigram counts (vocabulary-sized, with a
+    per-partition top-k pre-filter if vocabulary² grows hot)."""
+    from pyspark.sql import Window as SW
+
+    docs = _tp(spark, sf_dir, "documents")
+    toks = TX.tokens(F.lower(F.col("text")))
+    with_toks = docs.select(toks.alias("toks")).filter(F.size("toks") >= 2)
+    pairs = with_toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+            )
+        ).alias("bg")
+    )
+    counts = pairs.select(
+        F.concat_ws(
+            " ", F.col("bg").getField("0"), F.col("bg").getField("1")
+        ).alias("bigram")
+    ).groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = SW.orderBy(F.col("n").desc(), F.col("bigram"))
+    return counts.select(
+        "bigram", "n", F.row_number().over(w).alias("bigram_rank")
+    ).filter(F.col("bigram_rank") <= 25)
+
+
+def q_pagerank_domains(spark, sf_dir):
+    """Fixed-2-iteration PageRank (operators/graph.py) over a synthetic
+    directed graph derived from orders (custkey/orderkey folded to 997
+    nodes). Cross-engine exact: contributions quantized to BIGINT before
+    the order-independent sum; the damped update is pointwise double.
+    Per-iteration cost: one join against the O(nodes) rank table + one
+    partial-agg groupBy — the corpus-scale edge set is persisted once."""
+    from hri_flink_pipeline_core_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 997).alias("src"),
+        (F.col("o_orderkey") % 997).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return pagerank(edges, iterations=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
+        "pagerank_domains": q_pagerank_domains,
+        "bigram_topk": q_bigram_topk,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
         "pii_redact": q_pii_redact,
@@ -1544,6 +1595,59 @@ _DIM_SQL = """
 def oracle_sql() -> dict[str, str]:
     routed = TD.SQL_ROUTED_EVENTS
     return {
+        "bigram_topk": f"""
+            WITH t AS (
+              SELECT {O.tokens("lower(text)")} AS toks FROM documents
+            ), b AS (
+              SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS bg
+              FROM t WHERE len(toks) >= 2
+            ), c AS (
+              SELECT bg[1] || ' ' || bg[2] AS bigram,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM b GROUP BY 1
+            )
+            SELECT bigram, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, bigram)
+                        AS INTEGER) AS bigram_rank
+            FROM c QUALIFY bigram_rank <= 25
+        """,
+        "pagerank_domains": """
+            WITH edges AS (
+              SELECT DISTINCT o_custkey % 997 AS src, o_orderkey % 997 AS dst
+              FROM orders WHERE o_custkey % 997 <> o_orderkey % 997
+            ), nodes AS (
+              SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            ), outdeg AS (
+              SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+            ), pr0 AS (
+              SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes
+            ), c1 AS (
+              SELECT e.dst,
+                     SUM(CAST(floor(p.pr / d.d * 1e12 + 0.5) AS BIGINT)) AS sq
+              FROM edges e
+              JOIN outdeg d ON e.src = d.src
+              JOIN pr0 p ON p.node = e.src
+              GROUP BY e.dst
+            ), pr1 AS (
+              SELECT n.node,
+                     CAST(0.15 AS DOUBLE)
+                       + CAST(0.85 AS DOUBLE) * (COALESCE(c.sq, 0) / 1e12) AS pr
+              FROM nodes n LEFT JOIN c1 c ON c.dst = n.node
+            ), c2 AS (
+              SELECT e.dst,
+                     SUM(CAST(floor(p.pr / d.d * 1e12 + 0.5) AS BIGINT)) AS sq
+              FROM edges e
+              JOIN outdeg d ON e.src = d.src
+              JOIN pr1 p ON p.node = e.src
+              GROUP BY e.dst
+            ), pr2 AS (
+              SELECT n.node,
+                     CAST(0.15 AS DOUBLE)
+                       + CAST(0.85 AS DOUBLE) * (COALESCE(c.sq, 0) / 1e12) AS pr
+              FROM nodes n LEFT JOIN c2 c ON c.dst = n.node
+            )
+            SELECT node, pr AS pagerank FROM pr2
+        """,
         "merge_upsert": """
             WITH base AS (
               SELECT o_orderkey, o_totalprice, o_orderstatus
