@@ -118,3 +118,62 @@ def test_connected_components_matches_union_find(spark, pairs):
         (n, root) for n, root in _union_find_components(pairs).items()
     }
     assert got == expected
+
+
+edge_sets = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1,
+    max_size=30,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+@given(edges=edge_sets)
+@settings(**_SETTINGS)
+def test_pagerank_matches_python_reference(spark, edges):
+    """pagerank vs an independent pure-Python implementation using the
+    SAME quantization contract (floor(x*q+0.5) integer sums) — checks the
+    join/agg plumbing, dangling-node handling, and determinism."""
+    from hri_flink_pipeline_core_spark.operators.graph import pagerank
+
+    es = sorted({(a, b) for a, b in edges if a != b})
+    got = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(
+            spark.createDataFrame(es, "src int, dst int"), iterations=2
+        ).collect()
+    }
+
+    nodes = sorted({n for e in es for n in e})
+    outdeg: dict[int, int] = {}
+    for a, _ in es:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    pr = {n: 1.0 for n in nodes}
+    q = 1e12
+    for _ in range(2):
+        sums = {n: 0 for n in nodes}
+        for a, b in es:
+            import math
+
+            sums[b] += int(math.floor(pr[a] / outdeg[a] * q + 0.5))
+        pr = {n: 0.15 + 0.85 * (sums[n] / q) for n in nodes}
+    assert got == pr
+
+
+merge_rows = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 99)), min_size=0, max_size=20
+)
+
+
+@given(base=merge_rows, upd=merge_rows)
+@settings(**_SETTINGS)
+def test_merge_upsert_matches_dict_semantics(spark, base, upd):
+    """merge_upsert vs plain dict update — with unique keys per side,
+    the merged table IS {**base, **upd}."""
+    from hri_flink_pipeline_core_spark.operators.relational import merge_upsert
+
+    bd = dict(base)  # dict() dedups: last tuple wins, mirroring unique keys
+    ud = dict(upd)
+    bdf = spark.createDataFrame(list(bd.items()) or [], "k int, v int")
+    udf = spark.createDataFrame(list(ud.items()) or [], "k int, v int")
+    got = {r["k"]: r["v"] for r in merge_upsert(bdf, udf, ["k"]).collect()}
+    assert got == {**bd, **ud}
