@@ -1484,10 +1484,225 @@ def q_pagerank_domains(spark, sf_dir):
     return pagerank(edges, iterations=2)
 
 
+def q_contamination_flag(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any 5-gram
+    shingle with the held-out eval slice (hash-designated 5% of docs).
+    The eval shingle set is benchmark-sized by construction, so at 100 TB
+    this is a broadcast semi-join running at scan speed over the corpus;
+    the eval/corpus split predicates push down to both scans (each side
+    reads only its slice). Mirrors the n-gram decontamination step of
+    training-data pipelines (reference has no analog; north-star op)."""
+    docs = _tp(spark, sf_dir, "documents")
+    is_eval = TX.hash32(F.col("doc_id").cast("string")) % 20 == 0
+
+    def shingle_rows(df):
+        return df.select(
+            "doc_id", F.explode(TX.shingles(F.col("text"))).alias("shingle")
+        )
+
+    ev = shingle_rows(docs.filter(is_eval)).select("shingle").distinct()
+    corp = shingle_rows(docs.filter(~is_eval)).distinct()
+    return (
+        corp.join(F.broadcast(ev), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def q_repetition_score(spark, sf_dir):
+    """Within-document repetition: 1 - distinct/total word-3-grams — the
+    boilerplate/spam signal used for corpus filtering. explode + partial
+    agg (codegen count + count_distinct) instead of per-row array
+    lambdas, which hit Spark's interpreted expression path. The ratio is
+    a single int/int double division — bit-identical cross-engine."""
+    docs = _tp(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", F.explode(TX.shingles(F.col("text"), 3)).alias("g")
+    )
+    agg = ex.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count_distinct(F.col("g")).alias("n_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        (F.lit(1.0) - F.col("n_distinct") / F.col("n_grams")).alias("rep_ratio"),
+    )
+
+
+def q_posting_lists(spark, sf_dir):
+    """Inverted-index construction: term -> document frequency, total
+    term frequency, and the first 5 postings (sorted doc ids). Two
+    partial-aggregated groupBys — the (term, doc) pass bounds the
+    collect_list input to df rows, never raw occurrences; at 100 TB the
+    posting lists themselves would go to a sink partitioned by term
+    prefix, the shape here is the index build. df >= 25 keeps the
+    declared output to head terms."""
+    docs = _tp(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    per = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        per.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_total"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("doc_id")), 1, 5),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 25)
+    )
+
+
+def q_percentile_filter(spark, sf_dir):
+    """Per-source quality-quantile gate: keep docs at or above the 75th
+    length percentile of their source — the per-domain thresholding step
+    of corpus curation. One shuffle (window partition by source);
+    percent_rank is (rank-1)/(n-1) over identical ints, so the doubles
+    are bit-identical cross-engine. Tie-broken by doc_id: fully
+    deterministic."""
+    from pyspark.sql import Window as SW
+
+    docs = _t(spark, sf_dir, "documents")
+    w = SW.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id", "source", "n_chars", F.percent_rank().over(w).alias("pr")
+    ).filter(F.col("pr") >= 0.75)
+
+
+def q_topp_select(spark, sf_dir):
+    """Per-language top-p (nucleus) selection: longest docs first until
+    80% of the language's total characters. The keep predicate is pure
+    integer arithmetic ((cum - cur) * 5 < total * 4) — no float
+    thresholds to drift cross-engine. Two windows over one partitioning
+    (lang): a single shuffle, running-sum frame is streaming-friendly."""
+    from pyspark.sql import Window as SW
+
+    docs = _t(spark, sf_dir, "documents")
+    wo = SW.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    cum = F.sum("n_chars").over(
+        wo.rowsBetween(SW.unboundedPreceding, SW.currentRow)
+    )
+    tot = F.sum("n_chars").over(SW.partitionBy("lang"))
+    return docs.select(
+        "doc_id", "lang", "n_chars", cum.alias("cum_chars"), tot.alias("lang_chars")
+    ).filter(
+        (F.col("cum_chars") - F.col("n_chars")) * 5 < F.col("lang_chars") * 4
+    )
+
+
+def q_triangle_count(spark, sf_dir):
+    """Triangle census of the near-duplicate candidate graph (MinHash-LSH
+    pairs): nodes / edges / triangles — the density diagnostic that
+    distinguishes tight dup clusters from chained false positives.
+    Edges are persisted once (they re-enter the plan 5×; differing
+    projections defeat ReuseExchange); the triangle join runs on the
+    pair graph, never the corpus. Edge lists are canonically a < b so
+    each triangle (a<b<c) is counted exactly once."""
+    docs = _tp(spark, sf_dir, "documents")
+    edges = D.minhash_lsh_candidates(docs).persist()
+    ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    ac = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    nodes = (
+        edges.select(F.col("doc_a").alias("d"))
+        .unionAll(edges.select(F.col("doc_b").alias("d")))
+        .agg(F.count_distinct(F.col("d")).alias("n_nodes"))
+    )
+    return nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+def q_zorder_index(spark, sf_dir):
+    """Z-order (Morton) clustering key: interleave the low 10 bits of
+    two layout dimensions into one sort key, plus the derived file
+    bucket (zval >> 12). This is the write-side data-layout op that
+    makes multi-dimensional range pruning work at 100 TB: sorting by
+    zval co-locates rows close in BOTH dimensions, so min/max file
+    stats prune on either predicate. Pure codegen bit arithmetic."""
+    part = _t(spark, sf_dir, "part")
+    x = F.col("p_partkey") % 1024
+    y = F.col("p_size").cast("bigint") % 1024
+    z = None
+    for i in range(10):
+        bits = F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i) + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(1), 2 * i + 1
+        )
+        z = bits if z is None else z + bits
+    return part.select(
+        "p_partkey", x.alias("zx"), y.alias("zy"), z.alias("zval")
+    ).withColumn("zbucket", F.shiftright(F.col("zval"), 12))
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Length-weighted deterministic Bernoulli sampling: keep doc with
+    probability n_chars / max(n_chars), decided by integer comparison of
+    a content-addressed hash — reproducible across runs, engines, and
+    partitionings (no floats, no rand()). The max is a 1-row broadcast;
+    the filter is pure codegen at scan speed."""
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("max_chars"))
+    u = TX.hash32(F.col("doc_id").cast("string")) % 100000
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .filter(u * F.col("max_chars") < F.col("n_chars") * 100000)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Batch sessionization with explicit session ids: a 10-minute-gap
+    boundary flag (lag) -> running-sum session id -> per-session
+    aggregate. One shuffle (user_id) serves all three windows. The gap
+    test is integer microseconds (unix_micros), exact cross-engine; the
+    value sum uses decimal accumulation. This is the batch twin of
+    streaming session_windows — same semantics, checkable against SQL."""
+    from pyspark.sql import Window as SW
+
+    ev = _t(spark, sf_dir, "events")
+    w = SW.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 600_000_000),
+        1,
+    ).otherwise(0)
+    flagged = ev.select("user_id", "event_id", "ts", "value", is_new.alias("is_new"))
+    sess = F.sum("is_new").over(
+        SW.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(SW.unboundedPreceding, SW.currentRow)
+    )
+    with_id = flagged.withColumn("session_id", sess)
+    return with_id.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
         "pagerank_domains": q_pagerank_domains,
+        "contamination_flag": q_contamination_flag,
+        "repetition_score": q_repetition_score,
+        "posting_lists": q_posting_lists,
+        "percentile_filter": q_percentile_filter,
+        "topp_select": q_topp_select,
+        "triangle_count": q_triangle_count,
+        "zorder_index": q_zorder_index,
+        "weighted_sample": q_weighted_sample,
+        "sessionize_events": q_sessionize_events,
         "bigram_topk": q_bigram_topk,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
@@ -1594,7 +1809,124 @@ _DIM_SQL = """
 
 def oracle_sql() -> dict[str, str]:
     routed = TD.SQL_ROUTED_EVENTS
+    h_doc = O.hash32("CAST(doc_id AS VARCHAR)")
     return {
+        "contamination_flag": f"""
+            WITH toks AS (SELECT doc_id, {O.tokens('text')} AS t FROM documents),
+            sh AS (SELECT doc_id, {O.shingles('t')} AS s FROM toks),
+            ex AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            ev AS (
+              SELECT DISTINCT shingle FROM ex WHERE {h_doc} % 20 = 0
+            ),
+            corp AS (
+              SELECT DISTINCT doc_id, shingle FROM ex WHERE {h_doc} % 20 <> 0
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+            FROM corp JOIN ev USING (shingle)
+            GROUP BY doc_id
+        """,
+        "repetition_score": f"""
+            WITH toks AS (SELECT doc_id, {O.tokens('text')} AS t FROM documents),
+            sh AS (SELECT doc_id, {O.shingles('t', 3)} AS s FROM toks),
+            ex AS (SELECT doc_id, unnest(s) AS g FROM sh)
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_grams,
+                   CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+                   1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*)
+                     AS rep_ratio
+            FROM ex GROUP BY doc_id
+        """,
+        "posting_lists": f"""
+            WITH toks AS (SELECT doc_id, {O.tokens('text')} AS t FROM documents),
+            ex AS (SELECT doc_id, unnest(t) AS term FROM toks),
+            per AS (
+              SELECT term, doc_id, COUNT(*) AS tf FROM ex GROUP BY term, doc_id
+            )
+            SELECT term,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(tf) AS BIGINT) AS tf_total,
+                   array_to_string(list_sort(list(doc_id))[1:5], ',')
+                     AS postings_head
+            FROM per GROUP BY term
+            HAVING COUNT(*) >= 25
+        """,
+        "percentile_filter": """
+            SELECT doc_id, source, n_chars,
+                   percent_rank() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS pr
+            FROM documents
+            QUALIFY pr >= 0.75
+        """,
+        "topp_select": """
+            SELECT doc_id, lang, n_chars,
+                   CAST(SUM(n_chars) OVER (PARTITION BY lang
+                        ORDER BY n_chars DESC, doc_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars,
+                   CAST(SUM(n_chars) OVER (PARTITION BY lang) AS BIGINT)
+                     AS lang_chars
+            FROM documents
+            QUALIFY (cum_chars - n_chars) * 5 < lang_chars * 4
+        """,
+        "triangle_count": f"""
+            WITH cand AS ({O.minhash_lsh_pairs_sql()})
+            SELECT
+              (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM
+                 (SELECT doc_a AS d FROM cand
+                  UNION ALL SELECT doc_b FROM cand)) AS n_nodes,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_edges,
+              (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM cand e1
+               JOIN cand e2 ON e1.doc_b = e2.doc_a
+               JOIN cand e3 ON e1.doc_a = e3.doc_a
+                           AND e2.doc_b = e3.doc_b) AS n_triangles
+        """,
+        "zorder_index": f"""
+            WITH z AS (
+              SELECT p_partkey,
+                     p_partkey % 1024 AS zx,
+                     CAST(p_size AS BIGINT) % 1024 AS zy,
+                     CAST({' + '.join(
+                         f'(((((p_partkey % 1024) >> {i}) & 1) << {2 * i})'
+                         f' + ((((CAST(p_size AS BIGINT) % 1024) >> {i}) & 1)'
+                         f' << {2 * i + 1}))'
+                         for i in range(10)
+                     )} AS BIGINT) AS zval
+              FROM part
+            )
+            SELECT p_partkey, zx, zy, zval, zval >> 12 AS zbucket FROM z
+        """,
+        "weighted_sample": f"""
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE {h_doc} % 100000
+                  * (SELECT MAX(n_chars) FROM documents)
+                  < n_chars * 100000
+        """,
+        "sessionize_events": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             > 600000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            sess AS (
+              SELECT user_id, event_id, ts, value,
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(ts) AS session_start,
+                   MAX(ts) AS session_end,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     AS total_value
+            FROM sess GROUP BY user_id, session_id
+        """,
         "bigram_topk": f"""
             WITH t AS (
               SELECT {O.tokens("lower(text)")} AS toks FROM documents

@@ -172,7 +172,8 @@ def test_snapshot_diff_is_one_full_outer_join(spark, sf001):
     plan = plan_of(df)
     assert "FullOuter" in plan
     # two Exchanges max (one per join side); classification adds none
-    assert plan.count("Exchange hashpartitioning") <= 2
+    simple = plan_of(df, mode="simple")
+    assert simple.count("Exchange hashpartitioning") <= 2
 
 
 def test_pii_redact_is_scan_shaped(spark, sf001):
@@ -180,5 +181,56 @@ def test_pii_redact_is_scan_shaped(spark, sf001):
     only the two referenced columns read from the scan."""
     df = entry.q_pii_redact(spark, sf001)
     plan = plan_of(df)
-    assert "Exchange hashpartitioning" not in plan
+    # the only Exchange allowed is the deliberate round-robin spread()
+    # (single-row-group local testdata); never a hash shuffle
+    assert "Exchange hashpartitioning" not in plan_of(df, mode="simple")
     assert "ReadSchema" in plan and "text" in plan and "lang" not in plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+
+
+def test_contamination_eval_side_is_broadcast(spark, sf001):
+    """Decontamination must broadcast the (benchmark-sized) eval shingle
+    set, never shuffle the corpus side for the join; the eval/corpus
+    split is a scan-level filter, not a post-shuffle one."""
+    df = entry.q_contamination_flag(spark, sf001)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_index_is_scan_shaped(spark, sf001):
+    """Morton-key derivation is pure per-row bit arithmetic: no Exchange,
+    whole-stage codegen, and only the two layout columns read."""
+    df = entry.q_zorder_index(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert "Exchange" not in plan
+    assert "*(1)" in plan  # whole-stage-codegen'd project over the scan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "p_partkey" in read and "p_size" in read
+    assert "p_name" not in read and "p_retailprice" not in read
+
+
+def test_topp_select_single_shuffle(spark, sf001):
+    """Both windows (running sum + language total) share the lang
+    partitioning: exactly one hash Exchange in the plan."""
+    df = entry.q_topp_select(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_single_shuffle(spark, sf001):
+    """lag-flag window, running-sum session id, and the per-session
+    aggregate all run on the user_id partitioning: one hash Exchange
+    (the groupBy keys extend the window key, so no re-shuffle)."""
+    df = entry.q_sessionize_events(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_weighted_sample_max_is_broadcast(spark, sf001):
+    """The 1-row max(n_chars) side joins via broadcast nested loop (a
+    1-row cross join), and the weighted filter prunes to the needed
+    columns at the scan."""
+    df = entry.q_weighted_sample(spark, sf001)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
