@@ -1501,11 +1501,14 @@ def q_contamination_flag(spark, sf_dir):
         )
 
     ev = shingle_rows(docs.filter(is_eval)).select("shingle").distinct()
-    corp = shingle_rows(docs.filter(~is_eval)).distinct()
+    # broadcast-filter BEFORE any distinct: only shingles that hit the
+    # eval set ever shuffle (a sliver of the corpus); the dedup happens
+    # inside count_distinct's partial aggregation.
+    corp = shingle_rows(docs.filter(~is_eval))
     return (
         corp.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+        .agg(F.count_distinct(F.col("shingle")).alias("n_shared_shingles"))
     )
 
 
