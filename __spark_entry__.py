@@ -1668,28 +1668,36 @@ def q_sessionize_events(spark, sf_dir):
     test is integer microseconds (unix_micros), exact cross-engine; the
     value sum uses decimal accumulation. This is the batch twin of
     streaming session_windows — same semantics, checkable against SQL."""
+    return W.sessionize(_t(spark, sf_dir, "events"))
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus-curation composition, one Catalyst plan:
+    quality gate -> exact dedup (canonical = min doc_id per normalized
+    content) -> deterministic 50% hash sample -> per-language corpus
+    stats. Demonstrates that the declared operators compose without
+    materialization barriers: the quality filter and content key are
+    scan-stage codegen, the dedup window is the only corpus shuffle,
+    the sample is a post-dedup codegen filter, and the final agg is
+    partial-aggregated. At 100 TB each stage's shuffle volume shrinks
+    monotonically (gate drops low-quality, dedup drops duplicates,
+    sample halves)."""
     from pyspark.sql import Window as SW
 
-    ev = _t(spark, sf_dir, "events")
-    w = SW.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    is_new = F.when(
-        prev.isNull()
-        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev) > 600_000_000),
-        1,
-    ).otherwise(0)
-    flagged = ev.select("user_id", "event_id", "ts", "value", is_new.alias("is_new"))
-    sess = F.sum("is_new").over(
-        SW.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(SW.unboundedPreceding, SW.currentRow)
+    docs = _tp(spark, sf_dir, "documents")
+    kept = docs.filter(TX.quality_score(F.col("text")) >= 0.5)
+    w = SW.partitionBy("ck").orderBy("doc_id")
+    canon = (
+        kept.withColumn("ck", TX.normalized_md5(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
     )
-    with_id = flagged.withColumn("session_id", sess)
-    return with_id.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        _dsum(F.col("value")).alias("total_value"),
+    sampled = canon.filter(
+        TX.hash32(F.col("doc_id").cast("string")) % 1000 < 500
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
     )
 
 
@@ -1706,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_index": q_zorder_index,
         "weighted_sample": q_weighted_sample,
         "sessionize_events": q_sessionize_events,
+        "curation_pipeline": q_curation_pipeline,
         "bigram_topk": q_bigram_topk,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
@@ -1904,6 +1913,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE {h_doc} % 100000
                   * (SELECT MAX(n_chars) FROM documents)
                   < n_chars * 100000
+        """,
+        "curation_pipeline": f"""
+            WITH q AS ({O.text_stats_sql()}),
+            kept AS (
+              SELECT d.doc_id, d.text, d.lang, d.n_chars
+              FROM documents d JOIN q ON d.doc_id = q.doc_id
+              WHERE q.quality >= 0.5
+            ),
+            canon AS (
+              SELECT doc_id, lang, n_chars,
+                     md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS ck
+              FROM kept
+              QUALIFY row_number() OVER (PARTITION BY ck ORDER BY doc_id) = 1
+            ),
+            sampled AS (
+              SELECT * FROM canon WHERE {h_doc} % 1000 < 500
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM sampled GROUP BY lang
         """,
         "sessionize_events": """
             WITH flagged AS (

@@ -85,3 +85,49 @@ def session(
             "sum_value",
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    gap_us: int = 600_000_000,
+) -> DataFrame:
+    """Batch sessionization with explicit session ids: gap-boundary flag
+    (lag over the key partition) -> running-sum session id -> per-session
+    aggregate. All three windows and the final groupBy share the key
+    partitioning, so the whole chain is a single hash Exchange. The gap
+    test compares integer microseconds (exact cross-engine); the value
+    sum accumulates in DECIMAL (order-independent).
+
+    Batch twin of the streaming session_window aggregation (reference
+    has no event-time sessions at all — Tracker is processing-time only,
+    Tracker.scala:58,118; this is north-star surface)."""
+    from pyspark.sql import Window as SW
+
+    w = SW.partitionBy(key_col).orderBy(ts_col, id_col)
+    prev = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+        1,
+    ).otherwise(0)
+    flagged = df.select(
+        key_col, id_col, ts_col, value_col, is_new.alias("is_new")
+    )
+    sess = F.sum("is_new").over(
+        SW.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(SW.unboundedPreceding, SW.currentRow)
+    )
+    with_id = flagged.withColumn("session_id", sess)
+    return with_id.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.sum(F.col(value_col).cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -177,3 +177,114 @@ def test_merge_upsert_matches_dict_semantics(spark, base, upd):
     udf = spark.createDataFrame(list(ud.items()) or [], "k int, v int")
     got = {r["k"]: r["v"] for r in merge_upsert(bdf, udf, ["k"]).collect()}
     assert got == {**bd, **ud}
+
+
+# --- sessionize vs pure-Python reference ------------------------------------
+
+ev_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),        # user
+        st.integers(0, 5000),     # ts seconds offset
+        st.integers(-100, 100),   # value (x0.25 to get exact quarters)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=ev_rows)
+@settings(**_SETTINGS)
+def test_sessionize_matches_python_reference(spark, rows):
+    """sessionize vs a direct single-threaded pass: same session count,
+    membership, bounds, and sums for arbitrary event sets (10 s gap)."""
+    import datetime as dt
+
+    from hri_flink_pipeline_core_spark.operators.windows import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (u, i, base + dt.timedelta(seconds=t), v * 0.25)
+        for i, (u, t, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "user_id int, event_id int, ts timestamp, value double"
+    )
+    got = {
+        (r.user_id, r.session_id, r.n_events, r.session_start,
+         r.session_end, r.total_value)
+        for r in sessionize(df, gap_us=10_000_000).collect()
+    }
+
+    # pure-Python: sort per user by (ts, event_id), split on gap > 10 s
+    expect = set()
+    by_user: dict[int, list] = {}
+    for u, i, ts, v in data:
+        by_user.setdefault(u, []).append((ts, i, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid = 0
+        cur: list = []
+        prev_ts = None
+        for ts, i, v in evs:
+            if prev_ts is None or (ts - prev_ts).total_seconds() > 10:
+                if cur:
+                    expect.add(_session_row(u, sid, cur))
+                sid += 1
+                cur = []
+            cur.append((ts, v))
+            prev_ts = ts
+        if cur:
+            expect.add(_session_row(u, sid, cur))
+    assert got == expect
+
+
+def _session_row(u, sid, evs):
+    total = sum(v for _, v in evs)  # quarters: float sum is exact
+    return (u, sid, len(evs), evs[0][0], evs[-1][0], total)
+
+
+# --- top-p selection vs pure-Python reference --------------------------------
+
+doc_rows = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(1, 1000)),  # (lang, n_chars)
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=doc_rows)
+@settings(**_SETTINGS)
+def test_topp_predicate_matches_python_reference(spark, rows):
+    """The integer top-p keep predicate ((cum - cur)*5 < total*4) vs a
+    direct greedy 80% cumulative-share selection per language."""
+    data = [(i, ["en", "de"][lang], n) for i, (lang, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id int, lang string, n_chars long")
+
+    from pyspark.sql import Window as SW
+
+    wo = SW.partitionBy("lang").orderBy(F.col("n_chars").desc(), "doc_id")
+    cum = F.sum("n_chars").over(
+        wo.rowsBetween(SW.unboundedPreceding, SW.currentRow)
+    )
+    tot = F.sum("n_chars").over(SW.partitionBy("lang"))
+    got = {
+        r.doc_id
+        for r in df.select(
+            "doc_id", cum.alias("c"), F.col("n_chars").alias("n"),
+            tot.alias("t"),
+        ).filter((F.col("c") - F.col("n")) * 5 < F.col("t") * 4).collect()
+    }
+
+    expect = set()
+    for lang in {d[1] for d in data}:
+        docs = sorted(
+            (d for d in data if d[1] == lang),
+            key=lambda d: (-d[2], d[0]),
+        )
+        total = sum(d[2] for d in docs)
+        cum_before = 0
+        for doc_id, _, n in docs:
+            if cum_before * 5 < total * 4:
+                expect.add(doc_id)
+            cum_before += n
+    assert got == expect
