@@ -293,3 +293,38 @@ def upsert_parquet_sink(
         os.replace(tmp, latest_path)
 
     return write
+
+
+def compact_snapshot(
+    spark: SparkSession, root: str, target_bytes: int = 128 * 1024 * 1024
+) -> str:
+    """Small-file compaction for a versioned-snapshot table: read the
+    ``_LATEST`` snapshot, rewrite it into ceil(total_bytes/target_bytes)
+    files, commit as a new immutable version (``v{n}_compact``) and swap
+    the pointer. Data-identical by construction (one round-robin
+    repartition, no row transformation); readers are never disturbed —
+    they hold the old version directory until the atomic pointer swap.
+
+    This is the maintenance half of the small-files problem every
+    streaming parquet sink accrues: micro-batches write
+    rate-proportional file counts, scans then pay per-file open/listing
+    overhead. At 100 TB the same op runs per partition directory with
+    target = spark.sql.files.maxPartitionBytes so one file = one scan
+    split (no partial-split waste). Returns the new version directory."""
+    latest_path = os.path.join(root, "_LATEST")
+    with open(latest_path) as fh:
+        base_dir = fh.read().strip()
+    total = sum(
+        os.path.getsize(os.path.join(base_dir, f))
+        for f in os.listdir(base_dir)
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_bytes))
+    out_dir = base_dir.rstrip("/") + "_compact"
+    df = spark.read.parquet(base_dir)
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    tmp = latest_path + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(out_dir)
+    os.replace(tmp, latest_path)
+    return out_dir

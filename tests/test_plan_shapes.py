@@ -234,3 +234,12 @@ def test_weighted_sample_max_is_broadcast(spark, sf001):
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_triangle_count_reuses_persisted_edges(spark, sf001):
+    """The candidate-edge build (full LSH lineage) must run once: all
+    five consumers (3 triangle sides, edge count, node count) read the
+    persisted edge table."""
+    df = entry.q_triangle_count(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("InMemoryTableScan") >= 5

@@ -43,3 +43,35 @@ def test_upsert_sink_replay_is_idempotent(spark, tmp_path):
     sink(b1, 1)  # driver restart replays the last committed batch
     after = sorted(map(tuple, _read_latest(spark, root).collect()))
     assert before == after == [(1, "a1"), (2, "b")]
+
+
+def test_compact_snapshot_preserves_data_and_reduces_files(spark, tmp_path):
+    """compact_snapshot: many tiny files -> ceil(total/target) files,
+    rows and values identical, pointer swapped to the compacted version,
+    and a subsequent upsert continues from the compacted base."""
+    from hri_flink_pipeline_core_spark.streaming.pipeline import compact_snapshot
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    sink = upsert_parquet_sink(root, ["k"], order_col="seq")
+    rows = [(k, 0, f"v{k}") for k in range(200)]
+    df = spark.createDataFrame(rows, "k long, seq long, v string")
+    # fragmented snapshot as a streaming sink would accrue it: 32 files
+    before_dir = os.path.join(root, "v0")
+    df.repartition(32).write.parquet(before_dir)
+    with open(os.path.join(root, "_LATEST"), "w") as fh:
+        fh.write(before_dir)
+    n_before = len([f for f in os.listdir(before_dir) if f.endswith(".parquet")])
+    assert n_before >= 16
+
+    out_dir = compact_snapshot(spark, root, target_bytes=1 << 30)
+    n_after = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
+    assert n_after == 1  # total << target -> single file
+
+    got = {r["k"]: (r["seq"], r["v"]) for r in _read_latest(spark, root).collect()}
+    assert got == {k: (s, v) for k, s, v in rows}
+
+    # upserts keep working on the compacted snapshot
+    sink(spark.createDataFrame([(5, 1, "new")], "k long, seq long, v string"), 1)
+    got = {r["k"]: (r["seq"], r["v"]) for r in _read_latest(spark, root).collect()}
+    assert got[5] == (1, "new") and len(got) == 200
