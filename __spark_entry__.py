@@ -1701,6 +1701,49 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Shingle-containment verification of LSH candidates — catches
+    inclusion near-dups (short doc quoted inside a long one) that
+    Jaccard misses because the union is large. Pair work is bounded by
+    the candidate set; shingle sets built only for candidate docs."""
+    docs = _tp(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs)
+    return D.containment_pairs(docs, cands, threshold=0.5)
+
+
+def q_approx_percentile_binned(spark, sf_dir):
+    """Histogram-derived approximate percentiles (p50/p95 lower bounds
+    from unit-width bins) per event_type — the 100 TB scale path for
+    quantiles: one partial-aggregated groupBy builds the histogram
+    (bounded by bin count, not rows), the percentile pick runs on the
+    tiny bin table. All boundary tests are integer (cum*2 >= tot);
+    exact-quantile queries (quantile_summary) are the small-scale
+    oracle this approximates."""
+    from pyspark.sql import Window as SW
+
+    ev = _t(spark, sf_dir, "events")
+    bin_col = F.least(F.floor(F.col("value")), F.lit(499)).cast("int")
+    hist = ev.groupBy("event_type", bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = SW.partitionBy("event_type").orderBy("bin")
+    marked = hist.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(w.rowsBetween(SW.unboundedPreceding, SW.currentRow)).alias("cum"),
+        F.sum("n").over(SW.partitionBy("event_type")).alias("tot"),
+    )
+    return marked.groupBy("event_type").agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("bin")))
+        .cast("double")
+        .alias("p50_est"),
+        F.min(F.when(F.col("cum") * 20 >= F.col("tot") * 19, F.col("bin")))
+        .cast("double")
+        .alias("p95_est"),
+        F.max("tot").alias("n_events"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1715,6 +1758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "sessionize_events": q_sessionize_events,
         "curation_pipeline": q_curation_pipeline,
+        "containment_pairs": q_containment_pairs,
+        "approx_percentile_binned": q_approx_percentile_binned,
         "bigram_topk": q_bigram_topk,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
@@ -1913,6 +1958,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE {h_doc} % 100000
                   * (SELECT MAX(n_chars) FROM documents)
                   < n_chars * 100000
+        """,
+        "containment_pairs": O.containment_pairs_sql(threshold=0.5),
+        "approx_percentile_binned": """
+            WITH hist AS (
+              SELECT event_type,
+                     CAST(least(floor(value), 499) AS INTEGER) AS bin,
+                     COUNT(*) AS n
+              FROM events GROUP BY event_type, bin
+            ),
+            c AS (
+              SELECT event_type, bin,
+                     SUM(n) OVER (PARTITION BY event_type ORDER BY bin
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     SUM(n) OVER (PARTITION BY event_type) AS tot
+              FROM hist
+            )
+            SELECT event_type,
+                   CAST(MIN(CASE WHEN cum * 2 >= tot THEN bin END)
+                        AS DOUBLE) AS p50_est,
+                   CAST(MIN(CASE WHEN cum * 20 >= tot * 19 THEN bin END)
+                        AS DOUBLE) AS p95_est,
+                   CAST(MAX(tot) AS BIGINT) AS n_events
+            FROM c GROUP BY event_type
         """,
         "curation_pipeline": f"""
             WITH q AS ({O.text_stats_sql()}),

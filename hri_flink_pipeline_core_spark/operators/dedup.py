@@ -394,3 +394,42 @@ def connected_components(
             .persist()
         )
     return labels
+
+
+def containment_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle-containment verification of candidate pairs:
+    |A ∩ B| / min(|A|, |B|). Catches the inclusion near-dups Jaccard
+    misses — a short doc quoted whole inside a long one has low Jaccard
+    (union is large) but containment ~1. Same scale shape as
+    ngram_jaccard_pairs: shingle sets built only for candidate docs
+    (broadcast semi-join), pair work bounded by the LSH candidate set.
+    Integer set sizes -> exact double ratio, cross-engine safe."""
+    candidates = candidates.persist()
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets_df = df.join(
+        F.broadcast(cand_ids), df[id_col] == cand_ids["doc_id"], "left_semi"
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    )
+    left = sets_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    right = sets_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = candidates.join(left, "doc_a").join(right, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    containment = inter / F.greatest(
+        F.least(F.size("sh_a"), F.size("sh_b")), F.lit(1)
+    )
+    return joined.select(
+        "doc_a", "doc_b", containment.alias("containment")
+    ).filter(F.col("containment") >= threshold)

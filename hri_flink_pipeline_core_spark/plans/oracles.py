@@ -458,3 +458,24 @@ def dedup_clusters_sql(iterations: int = 3, max_bucket: int = 64) -> str:
     )""")
     body = ",\n    ".join(ctes)
     return f"WITH {body}\n    SELECT doc_id, cluster_id FROM l{iterations}"
+
+
+def containment_pairs_sql(threshold: float = 0.5, max_bucket: int = 64) -> str:
+    """Exact containment |A∩B| / min(|A|,|B|) over LSH candidate pairs —
+    same CTE chain as the Jaccard verifier."""
+    return f"""
+    WITH {lsh_banded_cte(max_bucket)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(s) AS ds FROM sh)
+    SELECT doc_a, doc_b,
+           len(list_intersect(x.ds, y.ds))
+             / greatest(least(len(x.ds), len(y.ds)), 1) AS containment
+    FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+              JOIN sets y ON cand.doc_b = y.doc_id
+    WHERE len(list_intersect(x.ds, y.ds))
+            / greatest(least(len(x.ds), len(y.ds)), 1) >= {threshold}
+    """
