@@ -1744,6 +1744,27 @@ def q_approx_percentile_binned(spark, sf_dir):
     )
 
 
+def q_pareto_frontier(spark, sf_dir):
+    """2-D Pareto frontier (skyline): parts not weakly dominated on
+    (minimize p_size, maximize p_retailprice) — the quality-vs-cost
+    frontier selection of data curation. Two-pass distributed shape:
+    pass 1 computes each hash-partition's local frontier with a
+    partitioned sort + exclusive running max (any globally
+    non-dominated point is locally non-dominated, and dominance is
+    transitive, so survivors contain the global frontier); pass 2
+    applies the same rule globally over the tiny survivor set. The
+    corpus is never globally sorted — the only single-task window runs
+    on per-partition frontiers. Tie-break by p_partkey: deterministic,
+    and equal (size, price) duplicates keep the minimum key."""
+    part = _t(spark, sf_dir, "part")
+    return R.pareto_frontier_2d(
+        part.select("p_partkey", "p_size", "p_retailprice"),
+        minimize_col="p_size",
+        maximize_col="p_retailprice",
+        id_col="p_partkey",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1760,6 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "containment_pairs": q_containment_pairs,
         "approx_percentile_binned": q_approx_percentile_binned,
+        "pareto_frontier": q_pareto_frontier,
         "bigram_topk": q_bigram_topk,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
@@ -1958,6 +1980,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE {h_doc} % 100000
                   * (SELECT MAX(n_chars) FROM documents)
                   < n_chars * 100000
+        """,
+        "pareto_frontier": """
+            WITH s AS (
+              SELECT p_partkey, p_size, p_retailprice,
+                     MAX(p_retailprice) OVER (
+                       ORDER BY p_size ASC, p_retailprice DESC, p_partkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS best_prev
+              FROM part
+            )
+            SELECT p_partkey, p_size, p_retailprice FROM s
+            WHERE best_prev IS NULL OR p_retailprice > best_prev
         """,
         "containment_pairs": O.containment_pairs_sql(threshold=0.5),
         "approx_percentile_binned": """

@@ -207,3 +207,45 @@ def snapshot_diff(
         sel.append(out[f"_o_{c}"].alias(f"old_{c}"))
         sel.append(out[f"_n_{c}"].alias(f"new_{c}"))
     return out.select(*sel)
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    id_col: str,
+    n_salt: int = 16,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): rows p for which no q has
+    q.min <= p.min AND q.max >= p.max with at least one strict; exact
+    (min, max) duplicates keep the minimum id only.
+
+    Two-pass distributed shape: pass 1 computes each hash-partition's
+    local frontier (partitioned sort + exclusive running max of the
+    maximize column); because any globally non-dominated row is locally
+    non-dominated and dominance is transitive, the survivors contain
+    the global frontier. Pass 2 applies the same rule globally over the
+    tiny survivor set — the only single-task window never sees the full
+    input. Equivalent to the direct global rule: in sort order
+    (min asc, max desc, id asc), a row's exclusive running max of the
+    maximize column is >= its own value iff some earlier row weakly
+    dominates it."""
+    order = [
+        F.col(minimize_col).asc(),
+        F.col(maximize_col).desc(),
+        F.col(id_col).asc(),
+    ]
+
+    def keep(d: DataFrame, w) -> DataFrame:
+        best_prev = F.max(maximize_col).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            d.withColumn("_bp", best_prev)
+            .filter(F.col("_bp").isNull() | (F.col(maximize_col) > F.col("_bp")))
+            .drop("_bp")
+        )
+
+    salted = df.withColumn("_salt", F.pmod(F.col(id_col), F.lit(n_salt)))
+    local = keep(salted, Window.partitionBy("_salt").orderBy(*order)).drop("_salt")
+    return keep(local, Window.orderBy(*order))

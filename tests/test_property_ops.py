@@ -288,3 +288,47 @@ def test_topp_predicate_matches_python_reference(spark, rows):
                 expect.add(doc_id)
             cum_before += n
     assert got == expect
+
+
+# --- two-pass pareto frontier vs brute-force dominance ------------------------
+
+pf_rows = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),  # (cost, gain)
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=pf_rows)
+@settings(**_SETTINGS)
+def test_pareto_frontier_matches_bruteforce(spark, rows):
+    """The two-pass (partition-local then global) frontier equals the
+    O(n²) weak-dominance definition, exact duplicates keeping min id —
+    the transitivity argument the implementation relies on, checked on
+    arbitrary point sets including heavy ties."""
+    from hri_flink_pipeline_core_spark.operators.relational import (
+        pareto_frontier_2d,
+    )
+
+    data = [(i, c, g) for i, (c, g) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, cost int, gain int")
+    got = {
+        r.id
+        for r in pareto_frontier_2d(
+            df, minimize_col="cost", maximize_col="gain", id_col="id", n_salt=4
+        ).collect()
+    }
+
+    def dominated(p):
+        pid, pc, pg = p
+        for qid, qc, qg in data:
+            if qid == pid:
+                continue
+            if qc <= pc and qg >= pg and (qc < pc or qg > pg):
+                return True
+            if qc == pc and qg == pg and qid < pid:  # duplicate, min id wins
+                return True
+        return False
+
+    expect = {pid for pid, pc, pg in data if not dominated((pid, pc, pg))}
+    assert got == expect
