@@ -243,3 +243,31 @@ def test_triangle_count_reuses_persisted_edges(spark, sf001):
     df = entry.q_triangle_count(spark, sf001)
     plan = plan_of(df, mode="simple")
     assert plan.count("InMemoryTableScan") >= 5
+
+
+def test_posting_lists_partial_aggregates(spark, sf001):
+    """Both groupBys ((term,doc) then term) must partial-aggregate
+    before their exchanges — 4+ HashAggregates around 2 shuffles."""
+    df = entry.q_posting_lists(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("HashAggregate") >= 4
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_repetition_score_partial_aggregates(spark, sf001):
+    """The per-doc gram counts partial-aggregate; count_distinct adds
+    its expand/partial stages but only one hash shuffle family (doc_id)."""
+    df = entry.q_repetition_score(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_curation_pipeline_shuffle_budget(spark, sf001):
+    """The composed pipeline: dedup window + final per-lang agg are the
+    only hash shuffles (quality gate, content key, and sample are
+    scan-stage codegen); no sort-merge joins anywhere."""
+    df = entry.q_curation_pipeline(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
