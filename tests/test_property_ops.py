@@ -332,3 +332,38 @@ def test_pareto_frontier_matches_bruteforce(spark, rows):
 
     expect = {pid for pid, pc, pg in data if not dominated((pid, pc, pg))}
     assert got == expect
+
+
+# --- binned percentile estimate vs exact rank statistic -----------------------
+
+val_rows = st.lists(st.floats(0.0, 60.0, allow_nan=False), min_size=1, max_size=40)
+
+
+@given(vals=val_rows)
+@settings(**_SETTINGS)
+def test_binned_p50_is_floor_of_exact_median_rank(spark, vals):
+    """The histogram-derived p50 (min bin with cum*2 >= tot) must equal
+    floor(value at rank ceil(n/2)) — the bin actually containing the
+    median-rank value — for arbitrary value sets, including bin-edge
+    and duplicate-heavy ones."""
+    from pyspark.sql import Window as SW
+
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    bin_col = F.least(F.floor(F.col("value")), F.lit(499)).cast("int")
+    hist = df.groupBy(bin_col.alias("bin")).agg(F.count(F.lit(1)).alias("n"))
+    w = SW.orderBy("bin").rowsBetween(SW.unboundedPreceding, SW.currentRow)
+    marked = hist.select(
+        "bin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(SW.partitionBy()).alias("tot"),
+    )
+    got = (
+        marked.filter(F.col("cum") * 2 >= F.col("tot"))
+        .agg(F.min("bin").alias("p50"))
+        .collect()[0]["p50"]
+    )
+
+    import math
+
+    exact_rank_val = sorted(vals)[math.ceil(len(vals) / 2) - 1]
+    assert got == math.floor(exact_rank_val)
