@@ -1495,10 +1495,9 @@ def q_contamination_flag(spark, sf_dir):
     docs = _tp(spark, sf_dir, "documents")
     is_eval = TX.hash32(F.col("doc_id").cast("string")) % 20 == 0
 
-    def shingle_rows(df):
-        return df.select(
-            "doc_id", F.explode(TX.shingles(F.col("text"))).alias("shingle")
-        )
+    # codegen shingle rows (explode + concat_ws of F.get — no
+    # interpreted array lambdas in the corpus-scale path)
+    shingle_rows = TX.shingle_str_rows
 
     ev = shingle_rows(docs.filter(is_eval)).select("shingle").distinct()
     # broadcast-filter BEFORE any distinct: only shingles that hit the
@@ -1519,8 +1518,8 @@ def q_repetition_score(spark, sf_dir):
     lambdas, which hit Spark's interpreted expression path. The ratio is
     a single int/int double division — bit-identical cross-engine."""
     docs = _tp(spark, sf_dir, "documents")
-    ex = docs.select(
-        "doc_id", F.explode(TX.shingles(F.col("text"), 3)).alias("g")
+    ex = TX.shingle_str_rows(docs, k=3).select(
+        "doc_id", F.col("shingle").alias("g")
     )
     agg = ex.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),

@@ -171,12 +171,13 @@ def pii_redact(text: Column) -> Column:
 # that scales: at 100 TB the explode output never materializes — it
 # streams through the agg inside one stage.
 
-def shingle_hash_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
-    """(doc_id, h) — one row per word-k-gram shingle, md5-hashed in
-    codegen. Shingle strings match ``shingles()`` exactly: n>=k -> n-k+1
-    k-grams; 0<n<k -> one shingle of all tokens (out-of-range gets are
-    null, concat_ws skips them); n==0 -> no rows (parity with the empty
-    array / null signature)."""
+def shingle_str_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
+    """(doc_id, shingle) — one row per word-k-gram shingle STRING, fully
+    whole-stage-codegen (explode of an index sequence + concat_ws of
+    F.get lookups — no interpreted array lambdas). Shingle strings match
+    ``shingles()`` exactly: n>=k -> n-k+1 k-grams; 0<n<k -> one shingle
+    of all tokens (out-of-range gets are null, concat_ws skips them);
+    n==0 -> no rows (parity with the empty array)."""
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") > 0)
@@ -190,7 +191,15 @@ def shingle_hash_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int
     shingle = F.concat_ws(
         " ", *[F.get(F.col("_toks"), F.col("_i") + F.lit(off)) for off in range(k)]
     )
-    return idx.select("doc_id", hash32(shingle).alias("h"))
+    return idx.select("doc_id", shingle.alias("shingle"))
+
+
+def shingle_hash_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
+    """(doc_id, h) — one row per word-k-gram shingle, md5-hashed in
+    codegen (see shingle_str_rows for the shingle-string contract)."""
+    return shingle_str_rows(df, text_col, id_col, k).select(
+        "doc_id", hash32(F.col("shingle")).alias("h")
+    )
 
 
 def token_hash_rows(df, text_col: str = "text", id_col: str = "doc_id"):
