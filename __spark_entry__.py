@@ -1743,6 +1743,28 @@ def q_approx_percentile_binned(spark, sf_dir):
     )
 
 
+def q_ann_recall(spark, sf_dir):
+    """Retrieval-quality evaluation: per-query recall of the IVF-probe
+    ANN against exact brute-force top-5 — the metric that governs the
+    speed/recall tradeoff when replacing exact search at scale. Both
+    sides are the engine's own deterministic operators, so the recall
+    numbers are reproducible across engines and partitionings. The
+    brute-force side is the expensive leg (Q x N) — in production it
+    runs on a sampled query set exactly as here (20 queries)."""
+    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_ann_ivf_probe(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = bf.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return truth.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_true",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("recall"),
+    )
+
+
 def q_pareto_frontier(spark, sf_dir):
     """2-D Pareto frontier (skyline): parts not weakly dominated on
     (minimize p_size, maximize p_retailprice) — the quality-vs-cost
@@ -1781,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "approx_percentile_binned": q_approx_percentile_binned,
         "pareto_frontier": q_pareto_frontier,
+        "ann_recall": q_ann_recall,
         "bigram_topk": q_bigram_topk,
         "merge_upsert": q_merge_upsert,
         "snapshot_diff": q_snapshot_diff,
@@ -1979,6 +2002,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE {h_doc} % 100000
                   * (SELECT MAX(n_chars) FROM documents)
                   < n_chars * 100000
+        """,
+        "ann_recall": f"""
+            WITH bf AS ({O.ann_topk_sql(k=5, n_queries=20)}),
+            ivf AS ({O.ann_ivf_probe_sql()}),
+            hits AS (
+              SELECT bf.query_id, COUNT(*) AS n_hit
+              FROM bf JOIN ivf USING (query_id, neighbor_id)
+              GROUP BY bf.query_id
+            ),
+            truth AS (
+              SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY query_id
+            )
+            SELECT truth.query_id,
+                   CAST(n_true AS BIGINT) AS n_true,
+                   CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+                   COALESCE(n_hit, 0) / CAST(n_true AS DOUBLE) AS recall
+            FROM truth LEFT JOIN hits ON truth.query_id = hits.query_id
         """,
         "pareto_frontier": """
             WITH s AS (
