@@ -43,19 +43,26 @@ def main() -> int:
     import gc
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in queries.items():
-        t0 = time.perf_counter()
-        df = fn(spark, SF_DIR)
-        # Force full execution of every operator and materialize all
-        # columns (count() alone would let Catalyst prune the plan).
-        n = df.toPandas().shape[0]
-        timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # Drop the py4j refs NOW (outside the timed window) so Spark's
-        # ContextCleaner can release each query's shuffle files and
-        # broadcasts; without this, later heavy queries in the 50+ query
-        # sweep time 2-3x slower under the accumulated JVM pressure.
-        del df
+        # One failing query must not zero out the whole round's artifact:
+        # record the error per query and keep going.
+        try:
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            # Force full execution of every operator and materialize all
+            # columns (count() alone would let Catalyst prune the plan).
+            n = df.toPandas().shape[0]
+            timings[name] = round(time.perf_counter() - t0, 4)
+            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            # Drop the py4j refs NOW (outside the timed window) so Spark's
+            # ContextCleaner can release each query's shuffle files and
+            # broadcasts; without this, later heavy queries in the 50+ query
+            # sweep time 2-3x slower under the accumulated JVM pressure.
+            del df
+        except Exception as exc:  # noqa: BLE001 - per-query fault isolation
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERR {errors[name]}", file=sys.stderr)
         gc.collect()
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
@@ -66,6 +73,8 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     return 0
 

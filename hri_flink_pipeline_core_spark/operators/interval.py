@@ -45,7 +45,9 @@ def interval_join(
     keys = list(keys)
 
     def bucket_of(c):
-        return F.floor(F.unix_timestamp(c) / F.lit(bucket_seconds))
+        # cast first: TIMESTAMP_NTZ (zone-less parquet) is not a valid
+        # unix_timestamp input; the UTC session makes the cast lossless.
+        return F.floor(F.unix_timestamp(c.cast("timestamp")) / F.lit(bucket_seconds))
 
     l_b = left.withColumn("_bucket", bucket_of(F.col(time_col)))
     r_b = right.withColumn(

@@ -109,9 +109,16 @@ def sessionize(
 
     w = SW.partitionBy(key_col).orderBy(ts_col, id_col)
     prev = F.lag(ts_col).over(w)
+    # unix_micros requires TIMESTAMP (with zone); parquet written without a
+    # zone reads back as TIMESTAMP_NTZ and would raise DATATYPE_MISMATCH.
+    # The session pins UTC, so NTZ -> LTZ cast is value-preserving.
     is_new = F.when(
         prev.isNull()
-        | (F.unix_micros(F.col(ts_col)) - F.unix_micros(prev) > gap_us),
+        | (
+            F.unix_micros(F.col(ts_col).cast("timestamp"))
+            - F.unix_micros(prev.cast("timestamp"))
+            > gap_us
+        ),
         1,
     ).otherwise(0)
     flagged = df.select(
