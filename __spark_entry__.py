@@ -1787,7 +1787,68 @@ def q_pareto_frontier(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Key ORDER is deliberate: the driver's correctness harness has a
+    # per-round budget and walks this dict in order (round 1 covered
+    # exactly the first 50 keys). Round-2 ordering: (1) sessionize_events
+    # — round 1's only failure — first so its fix gets a driver row;
+    # (2) the 51 keys with no round-1 driver verdict, cheapest-first;
+    # (3) the 49 keys already driver-verified green in CORRECTNESS_r01.
     return {
+        # -- (1) round-1 failure, now fixed --
+        "sessionize_events": q_sessionize_events,
+        # -- (2) no driver verdict yet --
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "media_blob_stats": q_media_blob_stats,
+        "rollup_agg": q_rollup_agg,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "json_array_funcs": q_json_array_funcs,
+        "quantile_summary": q_quantile_summary,
+        "domain_mix": q_domain_mix,
+        "frame_sample": q_frame_sample,
+        "range_frame_window": q_range_frame_window,
+        "scd2_intervals": q_scd2_intervals,
+        "cube_agg": q_cube_agg,
+        "window_tumbling": q_window_tumbling,
+        "rank_features": q_rank_features,
+        "analytic_window": q_analytic_window,
+        "window_sliding": q_window_sliding,
+        "pivot_agg": q_pivot_agg,
+        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
+        "sample_exact_per_stratum": q_sample_exact_per_stratum,
+        "ivf_centroids": q_ivf_centroids,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "value_histogram": q_value_histogram,
+        "session_windows": q_session_windows,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
+        "stats_moments": q_stats_moments,
+        "set_ops": q_set_ops,
+        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+        "media_decode_features": q_media_decode_features,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "doc_rarity": q_doc_rarity,
+        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
+        "sequence_pack": q_sequence_pack,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "cosine_neardup": q_cosine_neardup,
+        "ann_topk": q_ann_topk,
+        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
+        "bucketed_join_colocated": q_bucketed_join_colocated,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "kmeans_refine": q_kmeans_refine,
+        "string_funcs": q_string_funcs,
+        "date_funcs": q_date_funcs,
+        # -- (3) driver-verified green in round 1 --
         "pricing_summary": q_pricing_summary,
         "pagerank_domains": q_pagerank_domains,
         "contamination_flag": q_contamination_flag,
@@ -1798,7 +1859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "zorder_index": q_zorder_index,
         "weighted_sample": q_weighted_sample,
-        "sessionize_events": q_sessionize_events,
         "curation_pipeline": q_curation_pipeline,
         "containment_pairs": q_containment_pairs,
         "approx_percentile_binned": q_approx_percentile_binned,
@@ -1838,57 +1898,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_skewed": q_salted_join_skewed,
         "resample_ffill": q_resample_ffill,
         "doc_chunks": q_doc_chunks,
-        "doc_rarity": q_doc_rarity,
-        "scd2_intervals": q_scd2_intervals,
-        "value_histogram": q_value_histogram,
-        "stats_moments": q_stats_moments,
-        "sample_exact_per_stratum": q_sample_exact_per_stratum,
-        "bucketed_join_colocated": q_bucketed_join_colocated,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_topk": q_ann_topk,
-        "cosine_neardup": q_cosine_neardup,
-        "cosine_neardup_lsh": q_cosine_neardup_lsh,
-        "ann_ivf_probe": q_ann_ivf_probe,
-        "lsh_bucket_counts": q_lsh_bucket_counts,
-        "ivf_centroids": q_ivf_centroids,
-        "media_blob_stats": q_media_blob_stats,
-        "media_decode_features": q_media_decode_features,
-        "frame_sample": q_frame_sample,
-        "window_tumbling": q_window_tumbling,
-        "window_sliding": q_window_sliding,
-        "session_windows": q_session_windows,
-        "cube_agg": q_cube_agg,
-        "pivot_agg": q_pivot_agg,
-        "set_ops": q_set_ops,
-        "analytic_window": q_analytic_window,
-        "rollup_agg": q_rollup_agg,
-        "grouping_sets_agg": q_grouping_sets_agg,
-        "quantile_summary": q_quantile_summary,
-        "rank_features": q_rank_features,
-        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
-        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
-        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
-        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
-        "range_frame_window": q_range_frame_window,
-        "string_funcs": q_string_funcs,
-        "date_funcs": q_date_funcs,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "domain_mix": q_domain_mix,
-        "sequence_pack": q_sequence_pack,
-        "kmeans_refine": q_kmeans_refine,
-        "json_array_funcs": q_json_array_funcs,
     }
 
 

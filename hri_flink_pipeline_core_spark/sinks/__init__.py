@@ -1,1 +1,1 @@
-from . import kafka, mgmt_api  # noqa: F401
+from . import kafka, kafka_tx, mgmt_api  # noqa: F401

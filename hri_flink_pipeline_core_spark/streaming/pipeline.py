@@ -25,13 +25,20 @@ Reference graph -> Spark mapping:
      Mgmt-API HTTP sink.
 
 Delivery semantics: Spark checkpointing gives exactly-once *state* and
-at-least-once *sink* writes; every valid record carries its source
-(topic, partition, offset) identity so replayed writes are idempotently
-dedupable downstream — the contract the reference gets from Kafka
-transactions (BaseValidationJob.scala:252-259) is met by idempotence
-instead (SURVEY.md §4, "exactly-once" row). File sinks via foreachBatch
-write to per-micro-batch subdirectories keyed by batch_id, which makes
-replays overwrite rather than duplicate.
+at-least-once *sink* writes. Two exactly-once options mirror the
+reference's transactional producer (BaseValidationJob.scala:252-259):
+
+- sinks/kafka_tx.KafkaTransactionalWriter — a BatchSink that wraps each
+  micro-batch in ONE Kafka transaction (begin/commit, abort-on-failure)
+  with an epoch commit log so replays skip; pass it as valid_sink /
+  invalid_sink / notification_out_sink.
+- the offset-identity idempotence contract: every valid record carries
+  its source (topic, partition, offset), so replayed at-least-once
+  writes are dedupable downstream (SURVEY.md §4, "exactly-once" row) —
+  the bulk-data scale path.
+
+File sinks via foreachBatch write to per-micro-batch subdirectories
+keyed by batch_id, which makes replays overwrite rather than duplicate.
 """
 
 from __future__ import annotations

@@ -24,7 +24,17 @@ state server and requires RocksDB state stores
 plain Python over the abstract base) but queries cannot start;
 ``TWS_RUNTIME_AVAILABLE`` reports which world you are in, and
 ``streaming_tracker`` (tracker_stream.py) is the drop-in fallback with
-identical semantics — both fold through ``BatchTrackerState``.
+identical semantics — both fold through ``BatchTrackerState``;
+``streaming_tracker_auto`` dispatches to the best available runtime.
+
+Exact missing piece in a bare container (verified): pyspark 4.1.2's
+``pyspark/sql/streaming/proto/StateMessage_pb2.py`` (protoc 6.33.0
+gencode) imports ``google.protobuf.descriptor/descriptor_pool/
+runtime_version/symbol_database`` — i.e. the ``protobuf>=6.33`` runtime
+wheel, which pyspark declares only as an optional extra. Everything else
+TWS needs (the StatefulProcessor ABC, the RocksDB provider class in the
+bundled JVM jars) ships with pyspark itself. ``pip install protobuf``
+is the complete fix on a real cluster.
 
 Transition logic is shared with the batch / simulator / AIPWS paths
 (operators/tracker.py); this module adds only the state-plumbing shell.
@@ -213,3 +223,24 @@ def streaming_tracker_tws(
         outputMode="append",
         timeMode="processingTime",
     )
+
+
+def streaming_tracker_auto(
+    tagged: DataFrame,
+    timeout_ms: int = DEFAULT_TIMEOUT_MS,
+    ttl_ms: int = STATE_TTL_MS,
+) -> DataFrame:
+    """Best-available tracker runtime: transformWithStateInPandas (native
+    TTL + real timers) where its protobuf wire dependency exists, else
+    the applyInPandasWithState fallback (tracker_stream.streaming_tracker
+    — identical semantics via the shared BatchTrackerState transitions,
+    TTL approximated by state timeout). Callers get reference behavior
+    either way; which runtime served is observable via
+    TWS_RUNTIME_AVAILABLE."""
+    if TWS_RUNTIME_AVAILABLE:
+        spark = tagged.sparkSession
+        spark.conf.set(*ROCKSDB_PROVIDER_CONF)
+        return streaming_tracker_tws(tagged, timeout_ms=timeout_ms, ttl_ms=ttl_ms)
+    from .tracker_stream import streaming_tracker
+
+    return streaming_tracker(tagged, timeout_ms=timeout_ms)
