@@ -148,6 +148,85 @@ def cap_bucket_size(exploded: DataFrame, keys: list[str], max_bucket: int) -> Da
     return exploded.join(F.broadcast(big), keys, "left_anti")
 
 
+def bucket_pairs(
+    exploded: DataFrame,
+    keys: list[str],
+    fields: list[str],
+    small_cap: int = 128,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """All within-bucket unordered pairs (``<field>_a`` < ``<field>_b``
+    by the first field) via a grid-salted self-join — the workhorse under
+    every LSH-family candidate generator, skew-proof by construction.
+
+    A plain bucket self-join hash-partitions each bucket onto ONE task,
+    so a hot bucket (a degenerate band value, an all-identical-chunk
+    duplicate cluster) serializes its O(n²) comparisons on a single core
+    while the rest of the cluster idles. Here every member of a bucket
+    with n > ``small_cap`` gets a grid cell g = pmod(xxhash64(id), G),
+    G = ceil(n/small_cap); side A keeps its own cell as _ga and
+    replicates across all _gb, side B symmetrically; the equi-join on
+    (bucket, _ga, _gb) then splits the bucket's comparisons across G²
+    independent, ~small_cap²-bounded tasks. The ``_a < _b`` filter keeps
+    exactly one orientation of each pair (for _ga != _gb the mirrored
+    cell produces the reversed orientation, for _ga == _gb both live in
+    one cell — either way exactly one survives).
+
+    Buckets at or under ``small_cap`` take G = 1: one cell (0, 0), one
+    replica per side — bit-identical to the plain self-join, zero
+    replication cost. Since oversized buckets are rare, the count table
+    driving G is tiny -> broadcast join (same shape as the old
+    cap_bucket_size blacklist, now carrying the salt factor too).
+
+    ``max_bucket`` (optional) drops buckets larger than the cap before
+    any pair work — the LSH skew-blacklist semantic.
+
+    The annotated bucket table is persisted: it is consumed by both join
+    sides, whose differing projections defeat ReuseExchange, and its
+    lineage contains the (expensive) signature computation. It is small
+    — (keys, id, payload, salt) per member."""
+    n_col = F.count(F.lit(1)).alias("_n")
+    action_at = small_cap if max_bucket is None else min(small_cap, max_bucket)
+    counts = (
+        exploded.groupBy(*keys)
+        .agg(n_col)
+        .filter(F.col("_n") > action_at)
+    )
+    annotated = exploded.join(F.broadcast(counts), keys, "left")
+    if max_bucket is not None:
+        annotated = annotated.filter(
+            F.col("_n").isNull() | (F.col("_n") <= max_bucket)
+        )
+    member = annotated.withColumn(
+        "_g",
+        F.coalesce(
+            F.ceil(F.col("_n") / F.lit(small_cap)).cast("int"), F.lit(1)
+        ),
+    ).drop("_n").persist()
+
+    first = fields[0]
+    cell = F.pmod(F.xxhash64(F.col(first)), F.col("_g")).cast("int")
+    gb_range = F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
+    side_a = member.select(
+        *keys,
+        cell.alias("_ga"),
+        gb_range.alias("_gb"),
+        *[F.col(f).alias(f"{f}_a") for f in fields],
+    )
+    side_b = member.select(
+        *keys,
+        gb_range.alias("_ga"),
+        cell.alias("_gb"),
+        *[F.col(f).alias(f"{f}_b") for f in fields],
+    )
+    pair_cols = [f"{f}_a" for f in fields] + [f"{f}_b" for f in fields]
+    return (
+        side_a.join(side_b, [*keys, "_ga", "_gb"])
+        .filter(F.col(f"{first}_a") < F.col(f"{first}_b"))
+        .select(*pair_cols)
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -172,20 +251,20 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    # The bucket table is self-joined (a x b) and its lineage contains the
-    # full signature computation over the corpus; without persist, Spark
-    # evaluates that lineage once per join side (the differing doc_a/doc_b
-    # projections defeat ReuseExchange). The table itself is tiny
-    # ((doc_id, band, bucket) per doc), so MEMORY_AND_DISK is safe at scale.
-    sized = cap_bucket_size(exploded, ["band", "bucket"], max_bucket).persist()
-    a = sized.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b = sized.select("band", "bucket", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    # bucket_pairs: capped buckets expand to pairs in-row off one groupBy
+    # — no self-join, no broadcast blacklist, no persist (the old
+    # join-based form cost 4 extra jobs per call and put every bucket's
+    # pair fan-out on a single task). distinct() dedups across bands.
+    pairs = bucket_pairs(
+        exploded,
+        keys=["band", "bucket"],
+        fields=["doc_id"],
+        small_cap=max_bucket,
+        max_bucket=max_bucket,
     )
+    return pairs.select(
+        F.col("doc_id_a").alias("doc_a"), F.col("doc_id_b").alias("doc_b")
+    ).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -320,21 +399,22 @@ def simhash_neardup_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select("doc_id", "sh", "cc.chunk_idx", "cc.chunk").persist()
-    # persisted: self-joined below, and the simhash majority-vote lineage
-    # above it is the expensive part — run it once, not per join side
-    a = exploded.select(
-        "chunk_idx", "chunk", F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
-    b = exploded.select(
-        "chunk_idx", "chunk", F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    ).select("doc_id", "sh", "cc.chunk_idx", "cc.chunk")
+    # bucket_pairs handles the duplicate-heavy hot chunks (a 1.5k-doc
+    # bucket = ~1.2M comparisons) via its grid-salted big-bucket path —
+    # the former plain self-join serialized each hot bucket onto one
+    # task. The signature lineage runs once (one groupBy consumer), so
+    # no persist is needed either.
+    pairs = bucket_pairs(
+        exploded,
+        keys=["chunk_idx", "chunk"],
+        fields=["doc_id", "sh"],
+        small_cap=128,
     )
     return (
-        a.join(b, ["chunk_idx", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
+        pairs.select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)

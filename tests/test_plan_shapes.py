@@ -72,9 +72,11 @@ def test_minhash_pipeline_shuffles_are_aggregates_not_sorts(spark, sf001):
 
     df = minhash_lsh_candidates(read_table(spark, sf001, "documents"))
     plan = plan_of(df, mode="simple")
-    # the skew guard must be a broadcast anti-join, not a window sort
+    # the skew guard/salt must come from a broadcast of the (tiny)
+    # oversized-bucket count table, never from a window sort over the
+    # full exploded stream
     assert "Window" not in plan
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_tpch_q18_aggregates_before_join(spark, sf001):
