@@ -266,6 +266,143 @@ def q_term_topk(spark, sf_dir):
     ).filter(F.col("term_rank") <= 20)
 
 
+BM25_QUERY_TERMS = ["join", "hash", "scan"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval over the corpus for a fixed query, top-20 docs.
+    The canonical training-data/search scoring op the reference lacks.
+
+    Cross-engine-exact float discipline: the IDF uses the rational form
+    (N - df + 0.5)/(df + 0.5) — no log, so no libm divergence; every
+    per-term double is produced by the identical IEEE op sequence in
+    both engines; and per-term scores are quantized to BIGINT (1e-9)
+    before the order-independent integer sum (float sums are partition-
+    order dependent; the quantized sum is exact — the pagerank
+    discipline).
+
+    Scale shape: tf is an explode + partial-agg groupBy filtered to the
+    query terms BEFORE the shuffle (shuffle volume ∝ query hits, not
+    corpus); df/avgdl/N are one tiny aggregate each, broadcast; the
+    final per-doc sum partial-aggregates. Everything is scan + 2 small
+    shuffles at any corpus size."""
+    docs = _tp(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    dl = docs.select(
+        "doc_id", TX.token_count_ws(F.col("text")).alias("dl")
+    )
+    corpus_stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )  # 1 row
+    tf = (
+        toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))  # <= |query| rows
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / avgdl)
+    )
+    term_score = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus_stats))
+        .select(
+            "doc_id",
+            F.floor(term_score * F.lit(1e9) + F.lit(0.5))
+            .cast("bigint")
+            .alias("score_q"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("score_q").alias("score_q"))
+        .orderBy(F.col("score_q").desc(), F.col("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            (F.col("score_q").cast("double") / F.lit(1e9)).alias("bm25"),
+        )
+    )
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Per-document characteristic vocabulary: top-3 terms by the
+    integer-exact TF-IDF flavor tf * N / df (a single int/int division
+    produces the identical double in both engines — no log, no float
+    accumulation). explode -> distinct-tf partial agg -> term-keyed df
+    join -> per-doc window (score desc, term asc). At 100 TB the df
+    table is vocabulary-sized and the window partitions by doc —
+    both shuffles scale with their own key cardinality only."""
+    from pyspark.sql import Window as SW
+
+    docs = _tp(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))  # 1 row
+    w = SW.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("n_docs") / F.col("df")).desc(), F.col("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.col("n_docs") / F.col("df")).alias("tfidf"),
+            F.row_number().over(w).alias("term_rank"),
+        )
+        .filter(F.col("term_rank") <= 3)
+    )
+
+
+def q_winsorized_stats(spark, sf_dir):
+    """Outlier-robust per-language length statistics: clip n_chars at the
+    rank-based p10/p90 (the value at row ceil(q*n) of the (n_chars,
+    doc_id) order — explicit ranks, not interpolated percentiles, so
+    both engines pick the same element), then a DECIMAL-exact mean of
+    the clipped values. The curation primitive behind 'trim the length
+    tails before computing corpus stats'. One window shuffle on lang +
+    one partial-agg shuffle."""
+    from pyspark.sql import Window as SW
+
+    docs = _tp(spark, sf_dir, "documents")
+    w = SW.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rnk"),
+        F.count(F.lit(1)).over(SW.partitionBy("lang")).alias("cnt"),
+    )
+    lo_rank = F.ceil(F.col("cnt") * F.lit(0.1))
+    hi_rank = F.ceil(F.col("cnt") * F.lit(0.9))
+    bounds = ranked.groupBy("lang").agg(
+        F.max(F.when(F.col("rnk") == lo_rank, F.col("n_chars"))).alias("lo"),
+        F.max(F.when(F.col("rnk") == hi_rank, F.col("n_chars"))).alias("hi"),
+    )
+    clipped = docs.join(F.broadcast(bounds), "lang").select(
+        "lang",
+        F.greatest(F.least(F.col("n_chars"), F.col("hi")), F.col("lo")).alias("v"),
+    )
+    return clipped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_clipped"),
+        F.max("v").alias("max_clipped"),
+        (
+            F.sum(F.col("v").cast("decimal(18,0)"))
+            .cast("double") / F.count(F.lit(1))
+        ).alias("mean_clipped"),
+    )
+
+
 _KMV_K = 64
 
 
@@ -1816,7 +1953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) round-1 failure, now fixed --
         "sessionize_events": q_sessionize_events,
-        # -- (2) no driver verdict yet --
+        # -- (2) no driver verdict yet (round-2 additions first) --
+        "bm25_topk": q_bm25_topk,
+        "tfidf_topterms": q_tfidf_topterms,
+        "winsorized_stats": q_winsorized_stats,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "media_blob_stats": q_media_blob_stats,
@@ -2601,6 +2741,88 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY n DESC, term) AS INTEGER) AS term_rank
             FROM c
             QUALIFY term_rank <= 20
+        """,
+        "bm25_topk": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({O.tokens('text')}) AS term FROM documents
+            ),
+            dl AS (
+              SELECT doc_id, CAST(len({O.tokens('text')}) AS INTEGER) AS dl
+              FROM documents
+            ),
+            corpus AS (
+              SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl
+              FROM dl
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks WHERE term IN ('join','hash','scan')
+              GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ),
+            scored AS (
+              SELECT tf.doc_id,
+                     CAST(floor(
+                       ((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 *
+                          (dl.dl / (CAST(corpus.sum_dl AS DOUBLE)
+                                    / CAST(corpus.n_docs AS DOUBLE)))))
+                       * 1e9 + 0.5) AS BIGINT) AS score_q
+              FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN corpus
+            )
+            SELECT doc_id, CAST(SUM(score_q) AS DOUBLE) / 1e9 AS bm25
+            FROM scored GROUP BY doc_id
+            ORDER BY SUM(score_q) DESC, doc_id LIMIT 20
+        """,
+        "tfidf_topterms": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({O.tokens('text')}) AS term FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, term
+            ),
+            dfreq AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+            SELECT doc_id, term, tf, df,
+                   (tf * n_docs) / df AS tfidf,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY (tf * n_docs) / df DESC, term) AS INTEGER)
+                     AS term_rank
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            QUALIFY term_rank <= 3
+        """,
+        "winsorized_stats": """
+            WITH ranked AS (
+              SELECT lang, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars, doc_id) AS rnk,
+                     COUNT(*) OVER (PARTITION BY lang) AS cnt
+              FROM documents
+            ),
+            bounds AS (
+              SELECT lang,
+                     MAX(CASE WHEN rnk = CAST(ceil(cnt * 0.1) AS BIGINT)
+                              THEN n_chars END) AS lo,
+                     MAX(CASE WHEN rnk = CAST(ceil(cnt * 0.9) AS BIGINT)
+                              THEN n_chars END) AS hi
+              FROM ranked GROUP BY lang
+            ),
+            clipped AS (
+              SELECT d.lang, greatest(least(d.n_chars, b.hi), b.lo) AS v
+              FROM documents d JOIN bounds b USING (lang)
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(v) AS min_clipped, MAX(v) AS max_clipped,
+                   CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_clipped
+            FROM clipped GROUP BY lang
         """,
         "kmv_distinct": f"""
             WITH dh AS (
