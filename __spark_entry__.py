@@ -403,6 +403,14 @@ def q_winsorized_stats(spark, sf_dir):
     )
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated spans (operators/dedup.py
+    duplicate_spans): maximal runs of consecutive 8-shingle positions
+    occurring in >=2 docs — the find-the-repeated-passages primitive of
+    substring-level training-data dedup."""
+    return D.duplicate_spans(_tp(spark, sf_dir, "documents"), k=8, min_docs=2)
+
+
 _KMV_K = 64
 
 
@@ -1957,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "tfidf_topterms": q_tfidf_topterms,
         "winsorized_stats": q_winsorized_stats,
+        "duplicate_spans": q_duplicate_spans,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "media_blob_stats": q_media_blob_stats,
@@ -2823,6 +2832,40 @@ def oracle_sql() -> dict[str, str]:
                    MIN(v) AS min_clipped, MAX(v) AS max_clipped,
                    CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_clipped
             FROM clipped GROUP BY lang
+        """,
+        "duplicate_spans": f"""
+            WITH toks AS (
+              SELECT doc_id, {O.tokens('text')} AS t FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                     array_to_string(t[(CAST(i AS INTEGER)+1):(CAST(i AS INTEGER)+8)], ' ') AS shingle
+              FROM toks, unnest(range(0, greatest(len(t) - 8, 0) + 1)) AS r(i)
+              WHERE len(t) > 0
+            ),
+            hs AS (SELECT doc_id, pos, {O.hash32('shingle')} AS h FROM sh),
+            dup AS (
+              SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            hits AS (
+              SELECT doc_id, pos FROM hs WHERE h IN (SELECT h FROM dup)
+            ),
+            flagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                               OR pos - lag(pos) OVER w > 1
+                          THEN 1 ELSE 0 END AS _new
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            spans AS (
+              SELECT doc_id, pos,
+                     SUM(_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS _span
+              FROM flagged
+            )
+            SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_shingles
+            FROM spans GROUP BY doc_id, _span
         """,
         "kmv_distinct": f"""
             WITH dh AS (

@@ -422,6 +422,68 @@ def simhash_neardup_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated spans: maximal runs of consecutive
+    k-shingle positions whose shingle occurs in >= ``min_docs`` distinct
+    documents — the shingle-granular approximation of substring-level
+    training-data dedup (find-and-cut repeated passages, à la the
+    suffix-array approach of "Deduplicating Training Data Makes Language
+    Models Better"; shingle granularity trades exact boundaries for
+    pure-DataFrame execution).
+
+    Output: (doc_id, span_start, span_end, n_shingles) where
+    span_start/span_end are shingle positions (0-based; the span covers
+    tokens [span_start, span_end + k - 1]).
+
+    Scale shape: positions explode once (codegen shingles); the
+    duplicated-shingle set is a hash-aggregate (count distinct docs per
+    shingle — partial-aggregates; vocabulary-keyed, not corpus-keyed);
+    the membership join is a shuffle semi-join on the shingle hash; span
+    assembly is the sessionize pattern (lag + running sum) sharing ONE
+    doc-keyed window partitioning. No pair materialization anywhere —
+    cost scales with duplicated-position count, not doc pairs."""
+    from pyspark.sql import Window as SW
+
+    sh = shingle_hash_rows(df, text_col, id_col, k, with_pos=True)
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct(F.col("doc_id")).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    hits = sh.join(dup, "h", "left_semi")
+    w = SW.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(w)
+    flagged = hits.select(
+        "doc_id",
+        "pos",
+        F.when(prev.isNull() | (F.col("pos") - prev > 1), 1).otherwise(0).alias(
+            "_new"
+        ),
+    )
+    span = F.sum("_new").over(
+        SW.partitionBy("doc_id").orderBy("pos").rowsBetween(
+            SW.unboundedPreceding, SW.currentRow
+        )
+    )
+    return (
+        flagged.withColumn("_span", span)
+        .groupBy("doc_id", "_span")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("pos").alias("span_end"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .drop("_span")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

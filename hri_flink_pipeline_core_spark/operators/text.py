@@ -191,15 +191,22 @@ def shingle_str_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int 
     shingle = F.concat_ws(
         " ", *[F.get(F.col("_toks"), F.col("_i") + F.lit(off)) for off in range(k)]
     )
-    return idx.select("doc_id", shingle.alias("shingle"))
+    return idx.select("doc_id", F.col("_i").alias("pos"), shingle.alias("shingle"))
 
 
-def shingle_hash_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
-    """(doc_id, h) — one row per word-k-gram shingle, md5-hashed in
-    codegen (see shingle_str_rows for the shingle-string contract)."""
-    return shingle_str_rows(df, text_col, id_col, k).select(
-        "doc_id", hash32(F.col("shingle")).alias("h")
-    )
+def shingle_hash_rows(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    with_pos: bool = False,
+):
+    """(doc_id[, pos], h) — one row per word-k-gram shingle, md5-hashed
+    in codegen (see shingle_str_rows for the shingle-string contract).
+    ``with_pos`` keeps the 0-based shingle position (span extraction)."""
+    rows = shingle_str_rows(df, text_col, id_col, k)
+    cols = ["doc_id", "pos"] if with_pos else ["doc_id"]
+    return rows.select(*cols, hash32(F.col("shingle")).alias("h"))
 
 
 def token_hash_rows(df, text_col: str = "text", id_col: str = "doc_id"):

@@ -111,3 +111,50 @@ def test_join_salted_matches_plain_join(spark):
         (r.k, r.v, r.w) for r in plain
     )
     assert len(salted) == 52
+
+
+def test_duplicate_spans_finds_shared_passage(spark):
+    """Two docs share one 12-token passage; a third is unique. The span
+    must be maximal (one row per doc covering all 5 consecutive 8-shingle
+    positions), and the unique doc must produce no rows."""
+    from hri_flink_pipeline_core_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"w{i}" for i in range(12))  # 12 tokens -> 5 8-shingles
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} delta epsilon zeta"),
+            (3, "nothing here repeats at all ever once more"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in duplicate_spans(docs, k=8, min_docs=2).collect()}
+    assert set(rows) == {1, 2}
+    # doc 1: passage starts at token 2 -> shingle positions 2..6
+    assert (rows[1].span_start, rows[1].span_end, rows[1].n_shingles) == (2, 6, 5)
+    # doc 2: passage starts at token 0 -> shingle positions 0..4
+    assert (rows[2].span_start, rows[2].span_end, rows[2].n_shingles) == (0, 4, 5)
+
+
+def test_duplicate_spans_merges_adjacent_and_splits_gaps(spark):
+    """Two shared passages separated by unique text in the same doc must
+    produce two distinct maximal spans, not one."""
+    from hri_flink_pipeline_core_spark.operators.dedup import duplicate_spans
+
+    p1 = " ".join(f"a{i}" for i in range(8))   # exactly one 8-shingle
+    p2 = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{p1} unique filler words in between here {p2}"),
+            (2, f"{p1} other stuff"),
+            (3, f"{p2} more other stuff"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        (r.span_start, r.span_end)
+        for r in duplicate_spans(docs, k=8, min_docs=2).collect()
+        if r.doc_id == 1
+    )
+    assert len(spans) == 2
+    assert spans[0][0] == 0 and spans[1][0] > spans[0][1] + 1
