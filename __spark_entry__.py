@@ -576,6 +576,42 @@ def q_ann_ivf_probe(spark, sf_dir):
     )
 
 
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """IVF probe with nprobe=2 — the recall/cost dial one notch up:
+    each query exact-searches its TWO nearest clusters. Cost grows
+    linearly with nprobe; recall approaches brute force (measured by
+    ann_recall_multiprobe against the exact top-5)."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    means = q_ivf_centroids(spark, sf_dir)
+    centroids = means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+    return S.ann_ivf_probe(
+        emb.filter(F.col("vec_id") < 20), emb, centroids, k=5, nprobe=2
+    )
+
+
+def q_ann_recall_multiprobe(spark, sf_dir):
+    """Recall of nprobe=2 IVF vs exact top-5, per query — alongside
+    ann_recall (nprobe=1) this measures the recall curve the nprobe dial
+    buys, with both legs deterministic and cross-engine-exact."""
+    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_ann_ivf_multiprobe(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = bf.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return truth.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_true",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("recall"),
+    )
+
+
 def q_kmeans_refine(spark, sf_dir):
     """Iterative algorithm surface: 2 Lloyd rounds of k-means over the
     embeddings, seeded with the quantized label means (ivf_centroids).
@@ -1966,6 +2002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "winsorized_stats": q_winsorized_stats,
         "duplicate_spans": q_duplicate_spans,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "ann_recall_multiprobe": q_ann_recall_multiprobe,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "media_blob_stats": q_media_blob_stats,
@@ -2904,6 +2942,24 @@ def oracle_sql() -> dict[str, str]:
         "lsh_bucket_counts": O.lsh_bucket_counts_sql(),
         "ivf_centroids": O.ivf_centroids_sql(),
         "ann_ivf_probe": O.ann_ivf_probe_sql(),
+        "ann_ivf_multiprobe": O.ann_ivf_probe_sql(nprobe=2),
+        "ann_recall_multiprobe": f"""
+            WITH bf AS ({O.ann_topk_sql(k=5, n_queries=20)}),
+            ivf AS ({O.ann_ivf_probe_sql(nprobe=2)}),
+            hits AS (
+              SELECT bf.query_id, COUNT(*) AS n_hit
+              FROM bf JOIN ivf USING (query_id, neighbor_id)
+              GROUP BY bf.query_id
+            ),
+            truth AS (
+              SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY query_id
+            )
+            SELECT truth.query_id,
+                   CAST(n_true AS BIGINT) AS n_true,
+                   CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+                   COALESCE(n_hit, 0) / CAST(n_true AS DOUBLE) AS recall
+            FROM truth LEFT JOIN hits ON truth.query_id = hits.query_id
+        """,
         "kmeans_refine": O.kmeans_refine_sql(iters=2),
         "json_array_funcs": """
             SELECT event_id,

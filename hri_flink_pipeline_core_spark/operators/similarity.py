@@ -308,13 +308,18 @@ def ann_ivf_probe(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF probe search: assign each query to its nearest centroid
-    (cosine; ties -> smallest label), then exact-search ONLY the corpus
-    rows of that cluster. The cross join shrinks from Q x N to
-    Q x (N / #clusters); the centroid table is tiny and broadcast twice
-    (assignment + probe). Recall tradeoff vs brute force: neighbors in
-    non-probed clusters are missed — probe more clusters to raise it."""
+    """IVF probe search: assign each query to its ``nprobe`` nearest
+    centroids (cosine; ties -> smallest label), then exact-search ONLY
+    the corpus rows of those clusters. The cross join shrinks from
+    Q x N to Q x (nprobe x N / #clusters); the centroid table is tiny
+    and broadcast twice (assignment + probe). ``nprobe`` is the
+    standard recall/cost dial: neighbors in non-probed clusters are
+    missed, and each +1 probe adds one cluster's worth of exact
+    comparisons per query — cost stays linear in nprobe while recall
+    approaches brute force (ann_recall / ann_recall_multiprobe measure
+    exactly this tradeoff against the exact top-k)."""
     cent = centroids.select(
         F.col(label_col).alias("_c_label"),
         F.col("centroid").alias("_c_vec"),
@@ -334,9 +339,9 @@ def ann_ivf_probe(
             "_c_cos"
         ),
     )
-    # nearest centroid; ties -> smallest label (deterministic cross-engine)
+    # nearest centroid(s); ties -> smallest label (deterministic cross-engine)
     assigned = top_k_per_key(
-        scored, ["query_id"], F.struct(F.col("_c_cos"), -F.col("_c_label")), 1
+        scored, ["query_id"], F.struct(F.col("_c_cos"), -F.col("_c_label")), nprobe
     ).select("query_id", "q_vec", "q_norm", F.col("_c_label").alias("probe_label"))
 
     c = corpus.select(

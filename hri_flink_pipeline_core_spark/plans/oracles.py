@@ -251,10 +251,10 @@ def ivf_centroids_sql() -> str:
 
 
 
-def ann_ivf_probe_sql(k: int = 5, n_queries: int = 20) -> str:
+def ann_ivf_probe_sql(k: int = 5, n_queries: int = 20, nprobe: int = 1) -> str:
     """IVF probe: quantized-mean centroids (identical doubles on both
-    engines), nearest-centroid assignment (ties -> smallest label), exact
-    search within the probed cluster only."""
+    engines), nprobe-nearest-centroid assignment (ties -> smallest
+    label), exact search within the probed clusters only."""
     return f"""
     WITH means AS ({ivf_centroids_sql()}),
     cent AS (
@@ -276,7 +276,7 @@ def ann_ivf_probe_sql(k: int = 5, n_queries: int = 20) -> str:
                           c.label ASC
                ) AS rn
         FROM q, centn c
-      ) WHERE rn = 1
+      ) WHERE rn <= {nprobe}
     ),
     corpus AS (
       SELECT vec_id, label, embedding, {norm_sql('embedding')} AS c_nrm
