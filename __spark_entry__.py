@@ -411,6 +411,13 @@ def q_duplicate_spans(spark, sf_dir):
     return D.duplicate_spans(_tp(spark, sf_dir, "documents"), k=8, min_docs=2)
 
 
+def q_span_cut_text(spark, sf_dir):
+    """Substring-dedup cut step (operators/dedup.py span_cut_text):
+    remove tokens covered by cross-document duplicated spans, reassemble
+    the surviving text per doc."""
+    return D.span_cut_text(_tp(spark, sf_dir, "documents"), k=8, min_docs=2)
+
+
 _KMV_K = 64
 
 
@@ -2004,6 +2011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_recall_multiprobe": q_ann_recall_multiprobe,
+        "span_cut_text": q_span_cut_text,
         "hash_sample": q_hash_sample,
         "stratified_sample": q_stratified_sample,
         "media_blob_stats": q_media_blob_stats,
@@ -2904,6 +2912,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
                    CAST(COUNT(*) AS BIGINT) AS n_shingles
             FROM spans GROUP BY doc_id, _span
+        """,
+        "span_cut_text": f"""
+            WITH toks AS (
+              SELECT doc_id, {O.tokens('text')} AS t FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS pos,
+                     array_to_string(t[(CAST(i AS INTEGER)+1):(CAST(i AS INTEGER)+8)], ' ') AS shingle
+              FROM toks, unnest(range(0, greatest(len(t) - 8, 0) + 1)) AS r(i)
+              WHERE len(t) > 0
+            ),
+            hs AS (SELECT doc_id, pos, {O.hash32('shingle')} AS h FROM sh),
+            dup AS (
+              SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            hits AS (
+              SELECT doc_id, pos FROM hs WHERE h IN (SELECT h FROM dup)
+            ),
+            flagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                               OR pos - lag(pos) OVER w > 1
+                          THEN 1 ELSE 0 END AS _new
+              FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            span_rows AS (
+              SELECT doc_id, pos,
+                     SUM(_new) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS _span
+              FROM flagged
+            ),
+            spans AS (
+              SELECT doc_id, MIN(pos) AS s, MAX(pos) AS e
+              FROM span_rows GROUP BY doc_id, _span
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id, CAST(p AS INTEGER) AS tpos
+              FROM spans, unnest(range(s, e + 8)) AS r(p)
+            ),
+            tok_rows AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS tpos, t[CAST(i AS INTEGER)] AS token
+              FROM toks, unnest(range(1, len(t) + 1)) AS r(i)
+            ),
+            kept AS (
+              SELECT tr.doc_id, tr.tpos, tr.token
+              FROM tok_rows tr LEFT JOIN covered c
+                ON tr.doc_id = c.doc_id AND tr.tpos = c.tpos
+              WHERE c.doc_id IS NULL
+            ),
+            clean AS (
+              SELECT doc_id,
+                     string_agg(token, ' ' ORDER BY tpos) AS clean_text,
+                     CAST(COUNT(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY doc_id
+            ),
+            totals AS (SELECT doc_id, len(t) AS n_total FROM toks)
+            SELECT totals.doc_id,
+                   COALESCE(clean.clean_text, '') AS clean_text,
+                   CAST(COALESCE(clean.n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(totals.n_total - COALESCE(clean.n_kept, 0) AS BIGINT)
+                     AS n_dropped
+            FROM totals LEFT JOIN clean ON totals.doc_id = clean.doc_id
         """,
         "kmv_distinct": f"""
             WITH dh AS (

@@ -484,6 +484,65 @@ def duplicate_spans(
     )
 
 
+def span_cut_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The cut step of substring-level dedup: remove every token covered
+    by a cross-document duplicated span (``duplicate_spans``) and
+    reassemble the surviving text — the 'dedup the passages, keep the
+    documents' transformation training pipelines apply after span
+    detection.
+
+    Output: (doc_id, clean_text, n_kept, n_dropped); fully-duplicated
+    docs keep an empty clean_text row (n_kept = 0).
+
+    Scale shape: covered token positions explode from the span table
+    (volume ∝ duplicated text, not corpus); the kept-token filter is a
+    doc/pos-keyed LEFT ANTI shuffle join of the token stream (the one
+    corpus-scale exchange — inherent, the op rewrites every doc); the
+    reassembly groupBy shares the doc key. collect_list holds one doc's
+    surviving tokens — bounded by max doc length, same budget every
+    per-doc window op in the engine already assumes."""
+    spans = duplicate_spans(df, text_col, id_col, k, min_docs)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") + F.lit(k - 1))
+        ).alias("tpos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("tpos", "token"),
+    )
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "token"))),
+                lambda s: s["token"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("_n_total"),
+    )
+    return totals.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("_n_total") - F.coalesce(F.col("n_kept"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("n_dropped"),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

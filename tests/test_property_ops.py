@@ -367,3 +367,82 @@ def test_binned_p50_is_floor_of_exact_median_rank(spark, vals):
 
     exact_rank_val = sorted(vals)[math.ceil(len(vals) / 2) - 1]
     assert got == math.floor(exact_rank_val)
+
+
+# --------------------------------------------------------------------------
+# bucket_pairs vs brute-force itertools reference
+# --------------------------------------------------------------------------
+
+bucket_assignments = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),    # bucket key
+        st.integers(min_value=0, max_value=400),  # member id
+    ),
+    min_size=0,
+    max_size=60,
+    unique=True,
+)
+
+
+@given(rows=bucket_assignments, small_cap=st.sampled_from([2, 3, 8]))
+@settings(**_SETTINGS)
+def test_bucket_pairs_matches_bruteforce(spark, rows, small_cap):
+    """bucket_pairs (grid-salted join) must produce exactly the i<j pairs
+    of each bucket for arbitrary memberships — tiny small_cap values
+    force the grid path (G > 1) that production only hits on hot
+    buckets, including the ga==gb diagonal cells and cap-boundary
+    buckets."""
+    from itertools import combinations
+
+    from hri_flink_pipeline_core_spark.operators.dedup import bucket_pairs
+
+    df = spark.createDataFrame(rows or [(0, -1)], "bucket int, doc_id int")
+    if not rows:
+        df = df.filter(F.lit(False))
+    got = sorted(
+        (r.doc_id_a, r.doc_id_b)
+        for r in bucket_pairs(
+            df, keys=["bucket"], fields=["doc_id"], small_cap=small_cap
+        ).collect()
+    )
+
+    by_bucket: dict[int, list[int]] = {}
+    for b, d in rows:
+        by_bucket.setdefault(b, []).append(d)
+    want = sorted(
+        (a, c)
+        for ids in by_bucket.values()
+        for a, c in combinations(sorted(ids), 2)
+    )
+    assert got == want
+
+
+@given(rows=bucket_assignments)
+@settings(**_SETTINGS)
+def test_bucket_pairs_max_bucket_blacklist(spark, rows):
+    """max_bucket must drop oversized buckets entirely (the LSH skew
+    blacklist), keeping every pair of the surviving buckets."""
+    from itertools import combinations
+
+    from hri_flink_pipeline_core_spark.operators.dedup import bucket_pairs
+
+    cap = 5
+    df = spark.createDataFrame(rows or [(0, -1)], "bucket int, doc_id int")
+    if not rows:
+        df = df.filter(F.lit(False))
+    got = sorted(
+        (r.doc_id_a, r.doc_id_b)
+        for r in bucket_pairs(
+            df, keys=["bucket"], fields=["doc_id"], small_cap=3, max_bucket=cap
+        ).collect()
+    )
+    by_bucket: dict[int, list[int]] = {}
+    for b, d in rows:
+        by_bucket.setdefault(b, []).append(d)
+    want = sorted(
+        (a, c)
+        for ids in by_bucket.values()
+        if len(ids) <= cap
+        for a, c in combinations(sorted(ids), 2)
+    )
+    assert got == want

@@ -158,3 +158,23 @@ def test_duplicate_spans_merges_adjacent_and_splits_gaps(spark):
     )
     assert len(spans) == 2
     assert spans[0][0] == 0 and spans[1][0] > spans[0][1] + 1
+
+
+def test_span_cut_removes_shared_passage_keeps_unique(spark):
+    from hri_flink_pipeline_core_spark.operators.dedup import span_cut_text
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma"),
+            (2, f"{shared} delta"),
+            (3, "totally unique text that repeats nowhere else at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in span_cut_text(docs, k=8, min_docs=2).collect()}
+    assert rows[1].clean_text == "alpha beta gamma"
+    assert (rows[1].n_kept, rows[1].n_dropped) == (3, 12)
+    assert rows[2].clean_text == "delta"
+    assert rows[3].clean_text == docs.collect()[2].text  # untouched
+    assert rows[3].n_dropped == 0
