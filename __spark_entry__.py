@@ -300,6 +300,7 @@ def q_bm25_topk(spark, sf_dir):
         toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()  # feeds df aggregate + scoring join (hit-sized, tiny)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))  # <= |query| rows
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
@@ -343,7 +344,9 @@ def q_tfidf_topterms(spark, sf_dir):
 
     docs = _tp(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: tf feeds both the df aggregate and the final join —
+    # un-persisted, the corpus token explode would run twice
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))  # 1 row
     w = SW.partitionBy("doc_id").orderBy(

@@ -450,7 +450,11 @@ def duplicate_spans(
     cost scales with duplicated-position count, not doc pairs."""
     from pyspark.sql import Window as SW
 
-    sh = shingle_hash_rows(df, text_col, id_col, k, with_pos=True)
+    # persisted: consumed twice (df-count aggregate + membership join);
+    # without it the shingle explode + md5 lineage runs per consumer.
+    # At corpus scale this is a MEMORY_AND_DISK spill of (doc, pos, h)
+    # rows — the recompute-vs-spill tradeoff documented in SCALING.md.
+    sh = shingle_hash_rows(df, text_col, id_col, k, with_pos=True).persist()
     dup = (
         sh.groupBy("h")
         .agg(F.count_distinct(F.col("doc_id")).alias("_nd"))
