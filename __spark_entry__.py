@@ -2007,7 +2007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (1) round-1 failure, now fixed --
         "sessionize_events": q_sessionize_events,
-        # -- (2) no driver verdict yet (round-2 additions first) --
+        # -- (2a) round-2 additions (no verdict possible yet) --
         "bm25_topk": q_bm25_topk,
         "tfidf_topterms": q_tfidf_topterms,
         "winsorized_stats": q_winsorized_stats,
@@ -2015,57 +2015,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_recall_multiprobe": q_ann_recall_multiprobe,
         "span_cut_text": q_span_cut_text,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "media_blob_stats": q_media_blob_stats,
-        "rollup_agg": q_rollup_agg,
-        "grouping_sets_agg": q_grouping_sets_agg,
-        "json_array_funcs": q_json_array_funcs,
-        "quantile_summary": q_quantile_summary,
-        "domain_mix": q_domain_mix,
-        "frame_sample": q_frame_sample,
-        "range_frame_window": q_range_frame_window,
-        "scd2_intervals": q_scd2_intervals,
-        "cube_agg": q_cube_agg,
-        "window_tumbling": q_window_tumbling,
-        "rank_features": q_rank_features,
-        "analytic_window": q_analytic_window,
-        "window_sliding": q_window_sliding,
-        "pivot_agg": q_pivot_agg,
-        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
-        "sample_exact_per_stratum": q_sample_exact_per_stratum,
-        "ivf_centroids": q_ivf_centroids,
-        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
-        "value_histogram": q_value_histogram,
-        "session_windows": q_session_windows,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
-        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
-        "stats_moments": q_stats_moments,
-        "set_ops": q_set_ops,
-        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-        "media_decode_features": q_media_decode_features,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "doc_rarity": q_doc_rarity,
-        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
-        "sequence_pack": q_sequence_pack,
-        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "cosine_neardup": q_cosine_neardup,
-        "ann_topk": q_ann_topk,
-        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "lsh_bucket_counts": q_lsh_bucket_counts,
-        "bucketed_join_colocated": q_bucketed_join_colocated,
-        "ann_ivf_probe": q_ann_ivf_probe,
-        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        # -- (2b) round-1-unverified keys the round-1 verdict explicitly
+        #    called out (ANN family, the perf-rewritten dedup pair ops,
+        #    multimodal, windows/cube/pivot, sampling/packing) --
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "ivf_centroids": q_ivf_centroids,
         "kmeans_refine": q_kmeans_refine,
+        "cosine_neardup": q_cosine_neardup,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
+        "bucketed_join_colocated": q_bucketed_join_colocated,
+        "media_blob_stats": q_media_blob_stats,
+        "media_decode_features": q_media_decode_features,
+        "frame_sample": q_frame_sample,
+        "hash_sample": q_hash_sample,
+        "stratified_sample": q_stratified_sample,
+        "sample_exact_per_stratum": q_sample_exact_per_stratum,
+        "sequence_pack": q_sequence_pack,
+        "domain_mix": q_domain_mix,
+        "window_tumbling": q_window_tumbling,
+        "window_sliding": q_window_sliding,
+        "session_windows": q_session_windows,
+        "cube_agg": q_cube_agg,
+        "rollup_agg": q_rollup_agg,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "pivot_agg": q_pivot_agg,
+        "set_ops": q_set_ops,
+        "analytic_window": q_analytic_window,
+        "range_frame_window": q_range_frame_window,
+        "rank_features": q_rank_features,
+        "quantile_summary": q_quantile_summary,
+        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
+        "scd2_intervals": q_scd2_intervals,
+        "value_histogram": q_value_histogram,
+        "stats_moments": q_stats_moments,
+        "doc_rarity": q_doc_rarity,
+        "json_array_funcs": q_json_array_funcs,
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
+        # -- (2c) round-1-unverified TPC-H shapes (the most conventional
+        #    SQL of the unverified set — local oracle green; spill past a
+        #    50-key driver budget if anything must) --
+        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
+        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
+        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
         # -- (3) driver-verified green in round 1 --
         "pricing_summary": q_pricing_summary,
         "pagerank_domains": q_pagerank_domains,
