@@ -299,3 +299,77 @@ def test_streaming_threshold_fail_to_kafka(spark, tmp_path):
     assert terminal["status"] == Status.FAILED
     assert "invalidThreshold: 3" in terminal["failureMessage"]
     assert broker.events.count("abort") == 0
+
+
+def test_streaming_restart_no_duplicates_in_broker(spark, tmp_path):
+    """Exactly-once across a query restart: two record files consumed one
+    per micro-batch through the transactional writer; the query is
+    stopped after the run, more data arrives, and a NEW writer instance
+    (fresh driver) resumes from the same checkpoint + commit log. Every
+    record must appear in the broker exactly once — the commit log skips
+    replayed epochs, checkpointed offsets skip consumed files, and no
+    transaction is ever aborted mid-sequence."""
+    import time as _time
+
+    work = str(tmp_path)
+    rec_dir = os.path.join(work, "rec")
+    topics = derive_topics(TOPIC)
+    broker = Broker()
+    ckpt = os.path.join(work, "ckpt")
+    txlog = os.path.join(work, "txlog")
+
+    notif = Row(
+        id="batch-R", name="r", topic=TOPIC, dataType="claims",
+        status=Status.STARTED, startDate=None, endDate=None,
+        expectedRecordCount=100, actualRecordCount=None,
+        invalidRecordCount=None, invalidThreshold=50,
+        failureMessage=None, metadata=None,
+    )
+    notif_df = spark.createDataFrame([notif], BATCH_NOTIFICATION_SCHEMA).withColumn(
+        "offset", F.lit(0).cast("long")
+    )
+
+    os.makedirs(rec_dir)
+    spark.createDataFrame(
+        [hri_row("batch-R", offset=i) for i in range(3)], HRI_RECORD_SCHEMA
+    ).write.mode("append").parquet(rec_dir)
+
+    def run_once():
+        # fresh writer instance per run = fresh driver process semantics;
+        # the on-disk commit log is the shared truth
+        writer = KafkaTransactionalWriter(
+            "fake:9093", "tx-restart",
+            producer_factory=broker.producer_factory, commit_log=txlog,
+        )
+
+        def sink(batch_df, batch_id):
+            out = validate_records(batch_df, notif_df).valid
+            writer(ksink.hri_record_sink(out, topics.output_topic), batch_id)
+
+        stream = read_table_stream(
+            spark, rec_dir, HRI_RECORD_SCHEMA, max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from hri_flink_pipeline_core_spark.operators.validation import validate_records
+
+    run_once()
+    first = list(broker.topics.get(topics.output_topic, []))
+    assert len(first) == 3
+
+    # more records arrive; restart (new writer, same checkpoint/commit log)
+    spark.createDataFrame(
+        [hri_row("batch-R", offset=i) for i in range(3, 5)], HRI_RECORD_SCHEMA
+    ).write.mode("append").parquet(rec_dir)
+    run_once()
+
+    out = broker.topics[topics.output_topic]
+    keys = sorted(k for k, _, _ in out)
+    assert keys == [b"0", b"1", b"2", b"3", b"4"], keys  # exactly once each
+    assert broker.events.count("abort") == 0
