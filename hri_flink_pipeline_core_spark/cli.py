@@ -40,6 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="batch completion delay in milliseconds")
     p.add_argument("--workdir", default="/tmp/hri-pipeline",
                    help="checkpoint/state directory")
+    p.add_argument("--exactly-once", action="store_true",
+                   help="write all Kafka sinks through transactional "
+                        "producers (one transaction per micro-batch, "
+                        "epoch commit log; reference parity with "
+                        "Semantic.EXACTLY_ONCE — needs confluent-kafka). "
+                        "Default: at-least-once built-in sink + "
+                        "offset-identity idempotence contract")
     # Mgmt API (production mode)
     p.add_argument("--mgmt-url", default=None)
     p.add_argument("--client-id", default=None)
@@ -62,6 +69,34 @@ def main(argv=None) -> None:
     bootstrap = ",".join(args.brokers)
     prod_opts = {**client_opts, **ksource.producer_options()}
 
+    if args.exactly_once:
+        from .sinks.kafka_tx import (
+            KafkaTransactionalWriter,
+            confluent_producer_factory,
+        )
+        import os as _os
+
+        def tx_sink(shape_fn, topic, tid):
+            writer = KafkaTransactionalWriter(
+                bootstrap,
+                f"hri-validation-{topics.tenant_id}-{tid}",
+                producer_factory=confluent_producer_factory,
+                commit_log=_os.path.join(args.workdir, f"tx-commits-{tid}"),
+            )
+            return lambda df, b: writer(shape_fn(df, topic), b)
+
+        valid_sink = tx_sink(ksink.hri_record_sink, topics.output_topic, "out")
+        invalid_sink = tx_sink(
+            ksink.invalid_record_sink, topics.invalid_topic, "invalid"
+        )
+    else:
+        valid_sink = lambda df, _b: ksink.write_kafka_batch(  # noqa: E731
+            ksink.hri_record_sink(df, topics.output_topic), bootstrap, prod_opts
+        )
+        invalid_sink = lambda df, _b: ksink.write_kafka_batch(  # noqa: E731
+            ksink.invalid_record_sink(df, topics.invalid_topic), bootstrap, prod_opts
+        )
+
     pipe = ValidationPipeline(
         spark,
         validator=json_validator(),
@@ -73,12 +108,8 @@ def main(argv=None) -> None:
             spark, topics.notification_topic, client_opts
         ),
         workdir=args.workdir,
-        valid_sink=lambda df, _b: ksink.write_kafka_batch(
-            ksink.hri_record_sink(df, topics.output_topic), bootstrap, prod_opts
-        ),
-        invalid_sink=lambda df, _b: ksink.write_kafka_batch(
-            ksink.invalid_record_sink(df, topics.invalid_topic), bootstrap, prod_opts
-        ),
+        valid_sink=valid_sink,
+        invalid_sink=invalid_sink,
     )
 
     if args.mgmt_url:
@@ -90,6 +121,22 @@ def main(argv=None) -> None:
             ),
         )
         pipe.notification_out_sink = lambda df, b: sink.foreach_batch_writer()(df, b)
+    elif args.exactly_once:
+        from .sinks.kafka_tx import (
+            KafkaTransactionalWriter,
+            confluent_producer_factory,
+        )
+        import os as _os
+
+        _w = KafkaTransactionalWriter(
+            bootstrap,
+            f"hri-validation-{topics.tenant_id}-notif",
+            producer_factory=confluent_producer_factory,
+            commit_log=_os.path.join(args.workdir, "tx-commits-notif"),
+        )
+        pipe.notification_out_sink = lambda df, b: _w(
+            ksink.notification_sink(df, topics.notification_topic), b
+        )
     else:
         # loopback: terminal notifications back to the notification topic
         pipe.notification_out_sink = lambda df, _b: ksink.write_kafka_batch(

@@ -153,3 +153,43 @@ class KafkaTransactionalWriter:
         if self._producer is not None and hasattr(self._producer, "close"):
             self._producer.close()
         self._producer = None
+
+
+def confluent_producer_factory(conf: dict):
+    """Real-broker producer factory: adapts confluent-kafka's Producer to
+    the send/transaction protocol this writer drives. Gated behind an
+    import-try — the library is not bundled; install ``confluent-kafka``
+    on a real deployment (the tests use a fake with the same protocol)."""
+    try:
+        from confluent_kafka import Producer  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover - not in this container
+        raise RuntimeError(
+            "exactly-once Kafka mode needs the confluent-kafka package "
+            "(pip install confluent-kafka); the at-least-once built-in "
+            "Spark sink needs nothing extra"
+        ) from exc
+
+    class _Adapter:  # pragma: no cover - requires a broker
+        def __init__(self, c):
+            self._p = Producer(c)
+
+        def init_transactions(self):
+            self._p.init_transactions()
+
+        def begin_transaction(self):
+            self._p.begin_transaction()
+
+        def send(self, topic, key, value, headers=None):
+            self._p.produce(topic, key=key, value=value, headers=headers)
+
+        def commit_transaction(self):
+            self._p.flush()
+            self._p.commit_transaction()
+
+        def abort_transaction(self):
+            self._p.abort_transaction()
+
+        def close(self):
+            self._p.flush()
+
+    return _Adapter(conf)

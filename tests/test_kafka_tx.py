@@ -206,3 +206,32 @@ def test_valid_sink_shape_feeds_tx_writer(spark, writer_and_producer):
     assert produced[0].sent == [
         ("ingest.t.d.out", b"k", b"payload", [("batchId", b"b1")])
     ]
+
+
+def test_confluent_factory_gate_names_the_missing_dep():
+    """Without confluent-kafka the factory must fail loudly at writer
+    construction time with an actionable message, never silently degrade
+    to at-least-once."""
+    try:
+        import confluent_kafka  # noqa: F401
+
+        pytest.skip("confluent-kafka present — gate not exercisable")
+    except ImportError:
+        pass
+    from hri_flink_pipeline_core_spark.sinks.kafka_tx import (
+        confluent_producer_factory,
+    )
+
+    with pytest.raises(RuntimeError, match="confluent-kafka"):
+        confluent_producer_factory({"bootstrap.servers": "b:9093"})
+
+
+def test_cli_exactly_once_flag_parses():
+    from hri_flink_pipeline_core_spark.cli import build_parser
+
+    a = build_parser().parse_args(
+        ["--brokers", "b:9092", "--input", "ingest.t.d.in", "--exactly-once"]
+    )
+    assert a.exactly_once is True
+    a2 = build_parser().parse_args(["--brokers", "b:9092", "--input", "ingest.t.d.in"])
+    assert a2.exactly_once is False
