@@ -273,3 +273,33 @@ def test_curation_pipeline_shuffle_budget(spark, sf001):
     plan = plan_of(df, mode="simple")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_filters_query_terms_before_shuffle(spark, sf001):
+    """The tf aggregate must only shuffle query-term hits: the isin
+    filter sits below the first Exchange, and the per-(doc,term) count
+    partial-aggregates map-side."""
+    plan = plan_of(entry.q_bm25_topk(spark, sf001), mode="simple")
+    filter_pos = plan.rfind("Filter")   # deepest filter (nearest the scan)
+    exch_pos = plan.rfind("Exchange")   # deepest exchange
+    assert filter_pos != -1 and exch_pos != -1
+    assert filter_pos > exch_pos  # deeper in dump = closer to the scan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_duplicate_spans_single_window_partitioning(spark, sf001):
+    """Span assembly (lag flag + running sum) must share ONE doc-keyed
+    sort — two Window operators, one hashpartitioning(doc_id) exchange
+    feeding them."""
+    plan = plan_of(entry.q_duplicate_spans(spark, sf001), mode="simple")
+    assert plan.count("Window") >= 1
+    # no more than one exchange on doc_id for the whole window chain
+    assert plan.count("hashpartitioning(doc_id") <= 2
+
+
+def test_winsorized_bounds_are_broadcast(spark, sf001):
+    """The per-language bounds table is tiny — joining it back to the
+    corpus must broadcast, never shuffle the documents side."""
+    plan = plan_of(entry.q_winsorized_stats(spark, sf001), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
