@@ -406,6 +406,56 @@ def q_winsorized_stats(spark, sf_dir):
     )
 
 
+def q_quality_gate(spark, sf_dir):
+    """C4-style heuristic quality gate: the model-free keep/drop decision
+    of corpus curation, as per-rule booleans + the final keep flag.
+    Every rule is integer arithmetic (counts and cross-multiplied ratio
+    thresholds — no floats anywhere), so the gate is bit-exact across
+    engines AND across partitionings.
+
+    Rules: >=30 tokens; stopword ratio >=5% (stop*20 >= n); mean token
+    length in [3,12] (3n <= sum_len <= 12n); distinct-token ratio >=50%
+    (2*distinct >= n). Scale shape: one explode + one partial-agg
+    groupBy — token stats aggregate map-side, the shuffle carries one
+    row per doc."""
+    docs = _tp(spark, sf_dir, "documents")
+    stop_arr = [F.lit(w) for w in TX.STOPWORDS]
+    toks = docs.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    stats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(
+            F.when(F.lower(F.col("tok")).isin([w for w in TX.STOPWORDS]), 1).otherwise(0)
+        ).alias("n_stop"),
+        F.sum(F.length("tok")).alias("sum_len"),
+        F.count_distinct(F.col("tok")).alias("n_distinct"),
+    )
+    ids = docs.select("doc_id")
+    joined = ids.join(stats, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+        F.coalesce("n_stop", F.lit(0).cast("long")).alias("n_stop"),
+        F.coalesce("sum_len", F.lit(0).cast("long")).alias("sum_len"),
+        F.coalesce("n_distinct", F.lit(0).cast("long")).alias("n_distinct"),
+    )
+    r_min = F.col("n_tokens") >= 30
+    r_stop = F.col("n_stop") * 20 >= F.col("n_tokens")
+    r_len = (F.lit(3) * F.col("n_tokens") <= F.col("sum_len")) & (
+        F.col("sum_len") <= F.lit(12) * F.col("n_tokens")
+    )
+    r_rep = F.lit(2) * F.col("n_distinct") >= F.col("n_tokens")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        r_min.alias("r_min_tokens"),
+        r_stop.alias("r_stopword_ratio"),
+        r_len.alias("r_token_length"),
+        r_rep.alias("r_repetition"),
+        (r_min & r_stop & r_len & r_rep).alias("keep"),
+    )
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Cross-document duplicated spans (operators/dedup.py
     duplicate_spans): maximal runs of consecutive 8-shingle positions
@@ -2012,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "winsorized_stats": q_winsorized_stats,
         "duplicate_spans": q_duplicate_spans,
+        "quality_gate": q_quality_gate,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_recall_multiprobe": q_ann_recall_multiprobe,
         "span_cut_text": q_span_cut_text,
@@ -2921,6 +2972,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, MIN(pos) AS span_start, MAX(pos) AS span_end,
                    CAST(COUNT(*) AS BIGINT) AS n_shingles
             FROM spans GROUP BY doc_id, _span
+        """,
+        "quality_gate": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({O.tokens('text')}) AS tok FROM documents
+            ),
+            stats AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(SUM(CASE WHEN lower(tok) IN ({", ".join(f"'{w}'" for w in TX.STOPWORDS)})
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+                     CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+                     CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+              FROM toks GROUP BY doc_id
+            ),
+            j AS (
+              SELECT d.doc_id,
+                     COALESCE(s.n_tokens, 0) AS n_tokens,
+                     COALESCE(s.n_stop, 0) AS n_stop,
+                     COALESCE(s.sum_len, 0) AS sum_len,
+                     COALESCE(s.n_distinct, 0) AS n_distinct
+              FROM documents d LEFT JOIN stats s ON d.doc_id = s.doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   n_tokens >= 30 AS r_min_tokens,
+                   n_stop * 20 >= n_tokens AS r_stopword_ratio,
+                   (3 * n_tokens <= sum_len AND sum_len <= 12 * n_tokens)
+                     AS r_token_length,
+                   2 * n_distinct >= n_tokens AS r_repetition,
+                   (n_tokens >= 30 AND n_stop * 20 >= n_tokens
+                    AND 3 * n_tokens <= sum_len AND sum_len <= 12 * n_tokens
+                    AND 2 * n_distinct >= n_tokens) AS keep
+            FROM j
         """,
         "span_cut_text": f"""
             WITH toks AS (
