@@ -2049,29 +2049,41 @@ def q_pareto_frontier(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER is deliberate: the driver's correctness harness has a
-    # per-round budget and walks this dict in order (round 1 covered
-    # exactly the first 50 keys). Round-2 ordering: (1) sessionize_events
-    # — round 1's only failure — first so its fix gets a driver row;
-    # (2) the 51 keys with no round-1 driver verdict, cheapest-first;
-    # (3) the 49 keys already driver-verified green in CORRECTNESS_r01.
+    # per-round budget (50 keys/round in rounds 1-2) and walks this dict
+    # in order. Round-3 ordering, per VERDICT.md round 2 "Next round" #1
+    # and #8: (1) the 10 TPC-H keys that sat just past round 2's 50-key
+    # window and therefore have NO driver CORRECTNESS row yet (local
+    # DuckDB oracle green in tests/test_entry_queries.py); (2) keys whose
+    # implementation changed in round 3 (span-dedup shared-scan rewrite,
+    # ANN BLAS guard) so the changes get fresh driver rows; (3) the
+    # remaining round-2-verified keys; (4) round-1-verified keys last.
     return {
-        # -- (1) round-1 failure, now fixed --
+        # -- (1) the 10 keys with no driver verdict (positions 51-60 in
+        #    round 2's ordering) --
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
+        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+        # -- (2) implementations touched in round 3: re-verify --
+        "span_cut_text": q_span_cut_text,
+        "duplicate_spans": q_duplicate_spans,
+        "ann_topk": q_ann_topk,
+        # -- (3) round-2-verified keys (most recent green first) --
         "sessionize_events": q_sessionize_events,
-        # -- (2a) round-2 additions (no verdict possible yet) --
         "bm25_topk": q_bm25_topk,
         "tfidf_topterms": q_tfidf_topterms,
         "winsorized_stats": q_winsorized_stats,
-        "duplicate_spans": q_duplicate_spans,
         "quality_gate": q_quality_gate,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_recall_multiprobe": q_ann_recall_multiprobe,
-        "span_cut_text": q_span_cut_text,
-        # -- (2b) round-1-unverified keys the round-1 verdict explicitly
-        #    called out (ANN family, the perf-rewritten dedup pair ops,
-        #    multimodal, windows/cube/pivot, sampling/packing) --
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "ann_topk": q_ann_topk,
         "ann_ivf_probe": q_ann_ivf_probe,
         "ivf_centroids": q_ivf_centroids,
         "kmeans_refine": q_kmeans_refine,
@@ -2107,23 +2119,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_array_funcs": q_json_array_funcs,
         "string_funcs": q_string_funcs,
         "date_funcs": q_date_funcs,
-        # -- (2c) round-1-unverified TPC-H shapes (the most conventional
-        #    SQL of the unverified set — local oracle green; spill past a
-        #    50-key driver budget if anything must) --
         "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
         "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
-        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-        # -- (3) driver-verified green in round 1 --
+        # -- (4) driver-verified green in round 1 --
         "pricing_summary": q_pricing_summary,
         "pagerank_domains": q_pagerank_domains,
         "contamination_flag": q_contamination_flag,
