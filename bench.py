@@ -1,12 +1,19 @@
 #!/usr/bin/env python
 """BENCH: run the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print JSON lines:
 
-  {"metric": "...", "value": <total_sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": 0.1}
+  line 1 (full):    {"metric": "...", "value": <total_sec>, "unit": "sec",
+                     "queries": {"q1": sec, ...}, "sf": 0.1}
+  line 2 (compact): same metric/value/unit/sf plus n_queries, n_errors and
+                    only the top-10 slowest queries.
 
-Each query is timed end-to-end (plan + execute + count-style action),
-after a warm-up action that pays the one-time session/JIT costs.
+The compact line is printed LAST so a harness that captures only the tail
+of stdout still gets one whole parseable JSON line (the 109-entry full
+line overflowed the round-2 capture window). The full per-query map is
+also written to bench_full.json next to this script.
+
+Each query is timed end-to-end (plan + execute + full materialization),
+after a warm-up pass that pays the one-time session/JIT costs.
 """
 
 from __future__ import annotations
@@ -45,6 +52,15 @@ def main() -> int:
             except Exception:
                 pass
 
+    # Several queries .persist() intermediates (BM25 tf, LSH bucket
+    # members, span shingle rows). Spark's CacheManager matches identical
+    # logical plans, so without this the timed pass would silently reuse
+    # the InMemoryRelations materialized during warm-up and measure
+    # cache-hit re-execution while the DuckDB baseline runs cold. Clear
+    # once here AND before each timed query (queries also share persisted
+    # subtrees with each other, e.g. duplicate_spans / span_cut_text).
+    spark.catalog.clearCache()
+
     import gc
 
     timings: dict[str, float] = {}
@@ -53,6 +69,7 @@ def main() -> int:
         # One failing query must not zero out the whole round's artifact:
         # record the error per query and keep going.
         try:
+            spark.catalog.clearCache()  # no cross-query cache reuse
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             # Force full execution of every operator and materialize all
@@ -80,7 +97,29 @@ def main() -> int:
     }
     if errors:
         out["errors"] = errors
+    # Full artifact: one line on stdout (may overflow a tail-capture) and
+    # a file next to this script (always whole).
     print(json.dumps(out))
+    try:
+        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "bench_full.json")
+        with open(full_path, "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
+    # Compact line LAST so a tail-truncated capture still parses it whole.
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": out["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": {k: timings[k] for k in top10},
+        "full": "bench_full.json",
+    }
+    print(json.dumps(compact))
     return 0
 
 

@@ -59,6 +59,39 @@ def _perm_constants(num_hashes: int = NUM_HASHES, seed: int = _SEED):
 
 PERMS = _perm_constants()
 
+# Operators below persist intermediates whose lineage is expensive and
+# consumed more than once (bucket member tables, shingle/token rows,
+# CC labels). Spark never evicts those CacheManager entries on its own,
+# so a long-lived driver that calls these operators repeatedly would
+# accumulate cached plans for the session lifetime. Every internal
+# persist is therefore routed through _persist() and recorded here;
+# long-lived drivers call release_persisted_intermediates() between
+# jobs (batch callers that end the session can ignore it — session
+# teardown drops the cache). The registry holds strong refs on purpose:
+# a GC'd Python DataFrame does NOT unpersist its JVM-side cache entry.
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _LIVE_PERSISTS.append(df)
+    return df
+
+
+def release_persisted_intermediates() -> int:
+    """Unpersist every intermediate cached by this module's operators
+    since the last release; returns the number released. Safe to call
+    at any time — the cached data is re-derivable from lineage."""
+    n = 0
+    for df in _LIVE_PERSISTS:
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    _LIVE_PERSISTS.clear()
+    return n
+
 
 def dedup_exact_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on normalized text: one row per distinct content, the
@@ -181,7 +214,8 @@ def bucket_pairs(
     ``max_bucket`` (optional) drops buckets larger than the cap before
     any pair work — the LSH skew-blacklist semantic.
 
-    The annotated bucket table is persisted: it is consumed by both join
+    The annotated bucket table is persisted (tracked — see
+    ``release_persisted_intermediates``): it is consumed by both join
     sides, whose differing projections defeat ReuseExchange, and its
     lineage contains the (expensive) signature computation. It is small
     — (keys, id, payload, salt) per member."""
@@ -202,7 +236,8 @@ def bucket_pairs(
         F.coalesce(
             F.ceil(F.col("_n") / F.lit(small_cap)).cast("int"), F.lit(1)
         ),
-    ).drop("_n").persist()
+    ).drop("_n")
+    member = _persist(member)
 
     first = fields[0]
     cell = F.pmod(F.xxhash64(F.col(first)), F.col("_g")).cast("int")
@@ -251,10 +286,11 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    # bucket_pairs: capped buckets expand to pairs in-row off one groupBy
-    # — no self-join, no broadcast blacklist, no persist (the old
-    # join-based form cost 4 extra jobs per call and put every bucket's
-    # pair fan-out on a single task). distinct() dedups across bands.
+    # bucket_pairs: grid-salted within-bucket pair join — hot buckets
+    # split across bounded tasks instead of serializing on one core; it
+    # persists the small annotated member table internally (tracked,
+    # releasable via release_persisted_intermediates). distinct() dedups
+    # across bands.
     pairs = bucket_pairs(
         exploded,
         keys=["band", "bucket"],
@@ -282,8 +318,8 @@ def ngram_jaccard_pairs(
     # for docs that actually appear in a candidate pair (tiny set after
     # LSH), via a broadcast semi-join on the bare id column
     # candidates feeds three consumers (cand_ids + the final double join);
-    # persist so its (possibly expensive LSH) lineage runs once.
-    candidates = candidates.persist()
+    # persist so its (possibly expensive LSH) lineage runs once (tracked).
+    candidates = _persist(candidates)
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -448,20 +484,35 @@ def duplicate_spans(
     assembly is the sessionize pattern (lag + running sum) sharing ONE
     doc-keyed window partitioning. No pair materialization anywhere —
     cost scales with duplicated-position count, not doc pairs."""
-    from pyspark.sql import Window as SW
+    # persisted (tracked): consumed twice (df-count aggregate +
+    # membership join); without it the shingle explode + md5 lineage runs
+    # per consumer. At corpus scale this is a MEMORY_AND_DISK spill of
+    # (doc, pos, h) rows — the recompute-vs-spill tradeoff documented in
+    # SCALING.md.
+    sh = _persist(shingle_hash_rows(df, text_col, id_col, k, with_pos=True))
+    return _spans_from_hits(_dup_shingle_hits(sh, min_docs))
 
-    # persisted: consumed twice (df-count aggregate + membership join);
-    # without it the shingle explode + md5 lineage runs per consumer.
-    # At corpus scale this is a MEMORY_AND_DISK spill of (doc, pos, h)
-    # rows — the recompute-vs-spill tradeoff documented in SCALING.md.
-    sh = shingle_hash_rows(df, text_col, id_col, k, with_pos=True).persist()
+
+def _dup_shingle_hits(sh: DataFrame, min_docs: int) -> DataFrame:
+    """(doc_id, pos) rows whose shingle hash ``h`` occurs in >=
+    ``min_docs`` distinct docs. The dup-shingle set is a partial-agg
+    count-distinct keyed by the VOCABULARY (h), not the corpus; the
+    membership check is a shuffle semi-join on h."""
     dup = (
         sh.groupBy("h")
         .agg(F.count_distinct(F.col("doc_id")).alias("_nd"))
         .filter(F.col("_nd") >= min_docs)
         .select("h")
     )
-    hits = sh.join(dup, "h", "left_semi")
+    return sh.join(dup, "h", "left_semi").select("doc_id", "pos")
+
+
+def _spans_from_hits(hits: DataFrame) -> DataFrame:
+    """Assemble maximal runs of consecutive positions per doc — the
+    sessionize pattern (lag + running sum) sharing ONE doc-keyed window
+    partitioning. -> (doc_id, span_start, span_end, n_shingles)."""
+    from pyspark.sql import Window as SW
+
     w = SW.partitionBy("doc_id").orderBy("pos")
     prev = F.lag("pos").over(w)
     flagged = hits.select(
@@ -504,24 +555,59 @@ def span_cut_text(
     Output: (doc_id, clean_text, n_kept, n_dropped); fully-duplicated
     docs keep an empty clean_text row (n_kept = 0).
 
-    Scale shape: covered token positions explode from the span table
-    (volume ∝ duplicated text, not corpus); the kept-token filter is a
-    doc/pos-keyed LEFT ANTI shuffle join of the token stream (the one
-    corpus-scale exchange — inherent, the op rewrites every doc); the
-    reassembly groupBy shares the doc key. collect_list holds one doc's
-    surviving tokens — bounded by max doc length, same budget every
-    per-doc window op in the engine already assumes."""
-    spans = duplicate_spans(df, text_col, id_col, k, min_docs)
+    Scale shape: ONE corpus explode — each token row carries both the
+    token (for the rewrite) and, at shingle-valid positions, the k-gram
+    hash (for span detection); the shared (doc_id, tpos, token, h) table
+    is persisted and feeds the dup-shingle aggregate, the membership
+    semi-join, AND the kept-token anti-join (previously span detection
+    and the cut each exploded the corpus separately). Covered token
+    positions explode from the span table (volume ∝ duplicated text,
+    not corpus); the kept-token filter is a doc/pos-keyed LEFT ANTI
+    shuffle join of the token stream (the one corpus-scale exchange —
+    inherent, the op rewrites every doc); the reassembly groupBy shares
+    the doc key. collect_list holds one doc's surviving tokens — bounded
+    by max doc length, same budget every per-doc window op in the engine
+    already assumes."""
+    # One explode, two derived streams. Shingle parity with
+    # shingle_str_rows (text.py): valid shingle positions are
+    # 0..greatest(n-k, 0) — n>=k gives n-k+1 k-grams; 0<n<k gives one
+    # catch-all shingle at pos 0 (out-of-range F.get -> null, concat_ws
+    # skips); n==0 produces no rows at all.
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
+    )
+    n = F.size("_toks")
+    exploded = base.select(
+        "doc_id",
+        "_toks",
+        n.alias("_n"),
+        F.posexplode("_toks").alias("tpos", "token"),
+    )
+    shingle = F.concat_ws(
+        " ", *[F.get(F.col("_toks"), F.col("tpos") + F.lit(off)) for off in range(k)]
+    )
+    tok_sh = _persist(
+        exploded.select(
+            "doc_id",
+            "tpos",
+            "token",
+            F.when(
+                F.col("tpos") <= F.greatest(F.col("_n") - k, F.lit(0)),
+                hash32(shingle),
+            ).alias("h"),
+        )
+    )
+    sh = tok_sh.filter(F.col("h").isNotNull()).select(
+        "doc_id", F.col("tpos").alias("pos"), "h"
+    )
+    spans = _spans_from_hits(_dup_shingle_hits(sh, min_docs))
     covered = spans.select(
         "doc_id",
         F.explode(
             F.sequence(F.col("span_start"), F.col("span_end") + F.lit(k - 1))
         ).alias("tpos"),
     ).distinct()
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokens(F.col(text_col))).alias("tpos", "token"),
-    )
+    toks = tok_sh.select("doc_id", "tpos", "token")
     kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
     clean = kept.groupBy("doc_id").agg(
         F.concat_ws(
@@ -575,8 +661,8 @@ def connected_components(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist()
     )
+    edges = _persist(edges)
     labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
         "doc_id", F.col("doc_id").alias("cluster_id")
     )
@@ -594,10 +680,10 @@ def connected_components(
                     F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
-            # each iteration reads labels twice (neighbor join + carry);
-            # without persist the re-evaluations compound 2^iterations
-            .persist()
         )
+        # each iteration reads labels twice (neighbor join + carry);
+        # without persist the re-evaluations compound 2^iterations
+        labels = _persist(labels)
     return labels
 
 
@@ -616,7 +702,7 @@ def containment_pairs(
     ngram_jaccard_pairs: shingle sets built only for candidate docs
     (broadcast semi-join), pair work bounded by the LSH candidate set.
     Integer set sizes -> exact double ratio, cross-engine safe."""
-    candidates = candidates.persist()
+    candidates = _persist(candidates)
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))

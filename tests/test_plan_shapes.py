@@ -297,6 +297,20 @@ def test_duplicate_spans_single_window_partitioning(spark, sf001):
     assert plan.count("hashpartitioning(doc_id") <= 2
 
 
+def test_span_cut_single_corpus_explode(spark, sf001):
+    """span_cut_text must derive BOTH the shingle-hash stream (span
+    detection) and the token stream (the cut's anti-join) from ONE
+    persisted corpus explode: every posexplode Generate in the plan is
+    the cached table's lineage replay under an InMemoryTableScan — none
+    standalone — so the explode physically executes once to populate the
+    cache and all three consumers read it."""
+    plan = plan_of(entry.q_span_cut_text(spark, sf001), mode="simple")
+    n_explode = plan.count("Generate posexplode")
+    n_cached = plan.count("InMemoryTableScan")
+    assert n_cached >= 3  # dup-shingle agg + membership semi-join + tokens
+    assert n_explode <= n_cached  # no uncached corpus explode remains
+
+
 def test_winsorized_bounds_are_broadcast(spark, sf001):
     """The per-language bounds table is tiny — joining it back to the
     corpus must broadcast, never shuffle the documents side."""
