@@ -35,6 +35,9 @@ from .relational import top_k_per_key
 _SEED = 1337
 DEFAULT_DIM = 64
 DEFAULT_PLANES = 8
+# ann_topk_blas driver-collect guard: queries above this are a misuse of
+# the broadcast-queries operator, not a scale knob to raise blindly.
+MAX_BLAS_QUERIES = 100_000
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -255,10 +258,24 @@ def ann_topk_blas(
     left-fold in ``ann_topk_bruteforce``, so cosines differ in the last
     ulp — ranking is identical except for exact ties. Use the fold
     version when bit-exact cross-engine comparison matters.
+
+    The query side must be genuinely small — it is collected to the
+    driver and broadcast. The contract is ENFORCED, not assumed: above
+    ``MAX_BLAS_QUERIES`` rows the collect refuses with a pointer at the
+    bucketed paths, instead of silently degrading the driver.
     """
     import numpy as np
     import pandas as pd
 
+    n_q = queries.count()
+    if n_q > MAX_BLAS_QUERIES:
+        raise ValueError(
+            f"ann_topk_blas collected query side has {n_q} rows "
+            f"(> {MAX_BLAS_QUERIES}): this operator broadcasts the query "
+            "matrix and is meant for small query sets. For large query "
+            "sets use ann_ivf_probe / lsh_bucket variants (bucketed, "
+            "no driver collect)."
+        )
     q_rows = queries.select(query_id, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)

@@ -66,7 +66,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
     it reads TIMESTAMP_NS parquet into its micro-resolution TIMESTAMP, so
     both engines see bit-identical values.
     """
-    cached = _READ_CACHE.get((spark, sf_dir, name))
+    per_session = _READ_CACHE.get(spark)
+    if per_session is None:
+        per_session = _READ_CACHE.setdefault(spark, {})
+    cached = per_session.get((sf_dir, name))
     if cached is not None:
         return cached
 
@@ -83,7 +86,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
             )
-    _READ_CACHE[(spark, sf_dir, name)] = df
+    per_session[(sf_dir, name)] = df
     return df
 
 
@@ -91,7 +94,25 @@ def read_table(spark: SparkSession, sf_dir: str, name: str):
 # (session, dir, table) is safe and skips the per-query footer/schema
 # re-read plus plan re-construction — that fixed cost dominates sf0.01
 # sweeps where the driver's correctness budget is wall-clock bound.
-_READ_CACHE: dict = {}
+#
+# Keyed WEAKLY by the SparkSession: entries die with their session, so a
+# process that cycles sessions doesn't accumulate dead plans. Assumption
+# made explicit: the testdata parquet under sf_dir is IMMUTABLE for the
+# session's lifetime — the cached DataFrame pins the file listing from
+# first read, so a rewritten sf_dir in the same live session would serve
+# stale files (regenerate the dir => new session, or call
+# clear_read_cache()).
+import weakref
+
+_READ_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def clear_read_cache(spark: SparkSession | None = None) -> None:
+    """Drop cached table reads — all sessions, or one session's."""
+    if spark is None:
+        _READ_CACHE.clear()
+    else:
+        _READ_CACHE.pop(spark, None)
 
 
 def ts_ns(ts: str) -> int:

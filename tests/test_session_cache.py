@@ -1,0 +1,21 @@
+"""read_table cache: weak per-session keying + immutable-dir contract."""
+
+from hri_flink_pipeline_core_spark import session as S
+
+
+def test_read_cache_is_per_session_and_clearable(spark):
+    sf = "/root/testdata/sf0.001"
+    a = S.read_table(spark, sf, "region")
+    b = S.read_table(spark, sf, "region")
+    assert a is b, "same session+dir+table must hit the cache"
+    S.clear_read_cache(spark)
+    c = S.read_table(spark, sf, "region")
+    assert c is not a, "clear_read_cache must drop the entry"
+    assert spark in S._READ_CACHE  # weakly keyed by the live session
+
+
+def test_read_cache_entries_die_with_session(spark):
+    # WeakKeyDictionary: no strong ref to the session from the cache
+    import weakref
+
+    assert isinstance(S._READ_CACHE, weakref.WeakKeyDictionary)

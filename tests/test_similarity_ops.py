@@ -178,3 +178,22 @@ def test_span_cut_removes_shared_passage_keeps_unique(spark):
     assert rows[2].clean_text == "delta"
     assert rows[3].clean_text == docs.collect()[2].text  # untouched
     assert rows[3].n_dropped == 0
+
+
+def test_ann_topk_blas_guards_large_query_side(spark, monkeypatch):
+    """The BLAS path collects the query side to the driver; the
+    small-side contract is enforced, not assumed — oversized query sets
+    must refuse with a pointer at the bucketed operators."""
+    import pytest as _pytest
+
+    from hri_flink_pipeline_core_spark.operators import similarity as S
+
+    df = spark.range(10).selectExpr(
+        "id as vec_id", "array(cast(id as float), 1.0f) as embedding"
+    )
+    monkeypatch.setattr(S, "MAX_BLAS_QUERIES", 5)
+    with _pytest.raises(ValueError, match="ann_ivf_probe"):
+        S.ann_topk_blas(df, df, k=2)
+    # under the cap it runs
+    monkeypatch.setattr(S, "MAX_BLAS_QUERIES", 100)
+    assert S.ann_topk_blas(df, df, k=2).count() > 0
