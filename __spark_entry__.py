@@ -285,9 +285,13 @@ def q_bm25_topk(spark, sf_dir):
 
     Scale shape: tf is an explode + partial-agg groupBy filtered to the
     query terms BEFORE the shuffle (shuffle volume ∝ query hits, not
-    corpus); df/avgdl/N are one tiny aggregate each, broadcast; the
+    corpus); df is a window count over the term partition of the SAME
+    hit-sized tf stream (one consumer — no persist, no second shuffle,
+    no broadcast join); avgdl/N are one tiny aggregate, broadcast; the
     final per-doc sum partial-aggregates. Everything is scan + 2 small
     shuffles at any corpus size."""
+    from pyspark.sql import Window as SW
+
     docs = _tp(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
     dl = docs.select(
@@ -300,9 +304,10 @@ def q_bm25_topk(spark, sf_dir):
         toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()  # feeds df aggregate + scoring join (hit-sized, tiny)
+        # df in place: tf has exactly one row per (doc, term), so the
+        # term-partition count IS the document frequency
+        .withColumn("df", F.count(F.lit(1)).over(SW.partitionBy("term")))
     )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))  # <= |query| rows
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     denom = F.col("tf") + F.lit(BM25_K1) * (
@@ -310,8 +315,7 @@ def q_bm25_topk(spark, sf_dir):
     )
     term_score = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
+        tf.join(dl, "doc_id")
         .crossJoin(F.broadcast(corpus_stats))
         .select(
             "doc_id",
@@ -336,25 +340,27 @@ def q_tfidf_topterms(spark, sf_dir):
     """Per-document characteristic vocabulary: top-3 terms by the
     integer-exact TF-IDF flavor tf * N / df (a single int/int division
     produces the identical double in both engines — no log, no float
-    accumulation). explode -> distinct-tf partial agg -> term-keyed df
-    join -> per-doc window (score desc, term asc). At 100 TB the df
-    table is vocabulary-sized and the window partitions by doc —
-    both shuffles scale with their own key cardinality only."""
+    accumulation). explode -> distinct-tf partial agg -> df via a window
+    count over the term partition (tf has one row per (doc, term), so
+    the partition count IS df; one consumer — no persist, no self-join,
+    one fewer term-keyed shuffle) -> per-doc window (score desc, term
+    asc). At 100 TB both shuffles scale with their own key cardinality
+    only (term, then doc)."""
     from pyspark.sql import Window as SW
 
     docs = _tp(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("term"))
-    # persisted: tf feeds both the df aggregate and the final join —
-    # un-persisted, the corpus token explode would run twice
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("df", F.count(F.lit(1)).over(SW.partitionBy("term")))
+    )
     n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))  # 1 row
     w = SW.partitionBy("doc_id").orderBy(
         (F.col("tf") * F.col("n_docs") / F.col("df")).desc(), F.col("term")
     )
     return (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
