@@ -247,6 +247,71 @@ def q_dedup_clusters(spark, sf_dir):
     return D.connected_components(pairs)
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical selection — the step real pipelines run AFTER cluster
+    assignment: per duplicate cluster keep the HIGHEST-QUALITY member
+    (ties -> min doc_id), not the arbitrary min-id one. Emits
+    (cluster_id, kept_doc_id, kept_quality, n_members).
+
+    Scale shape: clusters live on the tiny pair graph (connected
+    components never touches the corpus); quality is a pure codegen
+    Column over the docs scan; the join keys the corpus by doc_id once
+    against the (small) cluster membership — at 100 TB that join
+    broadcasts the membership side; the argmax is one window over
+    cluster_id (cluster-sized partitions, bounded by construction)."""
+    from pyspark.sql import Window as SW
+
+    docs = _tp(spark, sf_dir, "documents")
+    clusters = D.connected_components(D.minhash_lsh_candidates(docs))
+    quality = docs.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+    j = clusters.join(quality, "doc_id")
+    w = SW.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("quality").alias("kept_quality"),
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1))
+            .over(SW.partitionBy("cluster_id"))
+            .alias("n_members"),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def q_shard_assignment(spark, sf_dir):
+    """Deterministic content-keyed output sharding — the 'global shuffle'
+    a training-data writer needs: shard = hash32(normalized content key)
+    mod 16, so shard membership is stable across runs and machines
+    (re-runs produce byte-identical shards) and hash-uniform (no hot
+    shard). Emits per-shard volume stats (doc count, id checksum, char
+    total) — the balance evidence.
+
+    Scale shape: ONE hash-partition shuffle of (doc_id, n_chars, shard);
+    the content hash runs in codegen on the scan side. This is exactly
+    `df.repartition(n, shard_key).write` with the partitioning made
+    observable."""
+    docs = _tp(spark, sf_dir, "documents")
+    shard = F.pmod(TX.hash32(TX.normalized_md5(F.col("text"))), F.lit(16))
+    return (
+        docs.select(
+            shard.cast("int").alias("shard"), "doc_id", "n_chars"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def q_term_topk(spark, sf_dir):
     """Corpus term statistics: top-20 tokens per language. explode +
     groupBy (map-side partial agg) rather than per-row array lambdas —
@@ -2076,7 +2141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-        # -- (2) implementations touched in round 3: re-verify --
+        # -- (2) new in round 3 + implementations touched in round 3 --
+        "dedup_keep_best": q_dedup_keep_best,
+        "shard_assignment": q_shard_assignment,
         "span_cut_text": q_span_cut_text,
         "duplicate_spans": q_duplicate_spans,
         "ann_topk": q_ann_topk,
@@ -2701,6 +2768,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_text": O.dedup_exact_sql(),
         "minhash_lsh_pairs": O.minhash_lsh_pairs_sql(),
         "dedup_clusters": O.dedup_clusters_sql(),
+        "dedup_keep_best": O.dedup_keep_best_sql(),
+        "shard_assignment": O.shard_assignment_sql(),
         "centroid_distances": f"""
             WITH means AS ({O.ivf_centroids_sql()}),
             cent AS (

@@ -298,9 +298,69 @@ def ann_ivf_probe_sql(k: int = 5, n_queries: int = 20, nprobe: int = 1) -> str:
 
 # --- text analysis -----------------------------------------------------------
 
+def quality_expr_sql(toks: str = "toks", nch: str = "nch", npunct: str = "npunct") -> str:
+    """The composite quality heuristic as a SQL expression over
+    pre-computed token-list / char-count / punct-count columns —
+    identical to operators.text.quality_score."""
+    stop_list = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+    return f"""CAST(CASE WHEN {nch} >= 100 AND {nch} <= 20000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN {npunct} / greatest({nch}, 1) <= 0.2 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN len(list_filter({toks}, x -> list_contains({stop_list}, lower(x))))
+                     / greatest(len({toks}), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN {nch} / greatest(len({toks}), 1) >= 3
+                    AND {nch} / greatest(len({toks}), 1) <= 12 THEN 0.25 ELSE 0.0 END
+             AS DOUBLE)"""
+
+
+def dedup_keep_best_sql(iterations: int = 3, max_bucket: int = 64) -> str:
+    """Canonical selection: per duplicate cluster keep the member with
+    the highest quality score (ties -> min doc_id). Clusters are the
+    dedup_clusters CTE chain verbatim; quality is quality_expr_sql."""
+    npunct = "len(regexp_extract_all(text, '[^\\w\\s]'))"
+    qexpr = quality_expr_sql(tokens("text"), "length(text)", npunct)
+    return f"""
+    WITH clusters AS ({dedup_clusters_sql(iterations, max_bucket)}),
+    q AS (
+      SELECT doc_id, {qexpr} AS quality
+      FROM documents
+    ),
+    j AS (
+      SELECT c.cluster_id, c.doc_id, q.quality
+      FROM clusters c JOIN q USING (doc_id)
+    )
+    SELECT cluster_id,
+           doc_id AS kept_doc_id,
+           quality AS kept_quality,
+           n_members
+    FROM (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+      FROM j
+    ) WHERE rn = 1
+    """
+
+
+def shard_assignment_sql(n_shards: int = 16) -> str:
+    """Deterministic content-keyed output sharding: shard =
+    hash32(normalized content md5) mod n_shards; per-shard volume stats."""
+    ck = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+    return f"""
+    WITH k AS (
+      SELECT doc_id, n_chars, {hash32(ck)} % {n_shards} AS shard
+      FROM documents
+    )
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM k GROUP BY shard
+    """
+
+
 def text_stats_sql() -> str:
     toks = tokens("text")
-    stop_list = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
     return f"""
     WITH t AS (
       SELECT doc_id, text, {toks} AS toks,
@@ -312,13 +372,7 @@ def text_stats_sql() -> str:
            CAST(len(toks) AS INTEGER) AS n_tokens_ws,
            CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INTEGER)
              AS n_tokens_bpe,
-           CAST(CASE WHEN nch >= 100 AND nch <= 20000 THEN 0.25 ELSE 0.0 END
-            + CASE WHEN npunct / greatest(nch, 1) <= 0.2 THEN 0.25 ELSE 0.0 END
-            + CASE WHEN len(list_filter(toks, x -> list_contains({stop_list}, lower(x))))
-                     / greatest(len(toks), 1) >= 0.05 THEN 0.25 ELSE 0.0 END
-            + CASE WHEN nch / greatest(len(toks), 1) >= 3
-                    AND nch / greatest(len(toks), 1) <= 12 THEN 0.25 ELSE 0.0 END
-             AS DOUBLE) AS quality
+           {quality_expr_sql()} AS quality
     FROM t
     """
 
