@@ -463,3 +463,145 @@ def test_doubtful_epoch_policies(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="intent but no commit"):
         w(df, 5)
+
+
+# ---------------------------------------------------------------------------
+# Crash-point sweep: inject a failure at EVERY protocol step and check the
+# delivered-message multiset after recovery + replay. Exactly-once must
+# hold strictly for every crash BEFORE the broker commit takes effect;
+# for the two crash points where the broker may have committed but the
+# log record didn't land (commit-call-raises-after-effect, crash before
+# record_commit), the writer cannot know — policy governs: resend ->
+# at-least-once (documented: offset-identity dedup downstream), skip ->
+# at-most-once.
+# ---------------------------------------------------------------------------
+
+class _Broker:
+    """Message store with transactional visibility."""
+
+    def __init__(self):
+        self.committed = []
+
+
+class _CrashingProducer:
+    """Drives the real protocol against _Broker; raises at a chosen
+    crash point. 'commit_effect_then_raise' commits to the broker AND
+    raises — the ambiguous window the intent record exists for."""
+
+    def __init__(self, broker, crash_at=None):
+        self.broker = broker
+        self.crash_at = crash_at
+        self._buf = []
+        self._n_send = 0
+
+    def init_transactions(self):
+        pass
+
+    def begin_transaction(self):
+        if self.crash_at == "begin":
+            self.crash_at = None
+            raise RuntimeError("crash@begin")
+        self._buf = []
+        self._n_send = 0
+
+    def send(self, topic, key, value, headers=None):
+        self._n_send += 1
+        if self.crash_at == f"send{self._n_send}":
+            self.crash_at = None
+            raise RuntimeError("crash@send")
+        self._buf.append((topic, key, value))
+
+    def commit_transaction(self):
+        if self.crash_at == "commit_before_effect":
+            self.crash_at = None
+            raise RuntimeError("crash@commit-before")
+        self.broker.committed.extend(self._buf)
+        self._buf = []
+        if self.crash_at == "commit_effect_then_raise":
+            self.crash_at = None
+            raise RuntimeError("crash@commit-after-effect")
+
+    def abort_transaction(self):
+        self._buf = []
+
+
+@pytest.mark.parametrize(
+    "crash_at,expect_after_recovery",
+    [
+        ("begin", "exactly_once"),
+        ("send1", "exactly_once"),
+        ("send3", "exactly_once"),
+        ("commit_before_effect", "exactly_once"),
+        # broker committed, writer saw an error -> doubtful epoch
+        ("commit_effect_then_raise", "policy"),
+    ],
+)
+def test_crash_point_sweep_driver_writer(spark, tmp_path, crash_at,
+                                         expect_after_recovery):
+    df = _shaped(spark)  # 3 rows
+    for policy in (["resend", "skip"] if expect_after_recovery == "policy"
+                   else ["resend"]):
+        broker = _Broker()
+        log = str(tmp_path / f"log-{crash_at}-{policy}")
+        producer = _CrashingProducer(broker, crash_at=crash_at)
+        w1 = KafkaTransactionalWriter(
+            "b:9093", "tid", producer_factory=lambda conf: producer,
+            commit_log=log, doubtful_epoch_policy=policy,
+        )
+        with pytest.raises(RuntimeError, match="crash@"):
+            w1(df, 0)
+        # recovery: fresh writer instance, same durable log, same broker
+        w2 = KafkaTransactionalWriter(
+            "b:9093", "tid",
+            producer_factory=lambda conf: _CrashingProducer(broker),
+            commit_log=log, doubtful_epoch_policy=policy,
+        )
+        w2(df, 0)  # Spark replays the failed micro-batch
+        n = len(broker.committed)
+        if expect_after_recovery == "exactly_once":
+            assert n == 3, f"{crash_at}: every row exactly once"
+        elif policy == "resend":
+            assert n == 6, "doubtful+resend: at-least-once, dedupable"
+        else:
+            assert n == 3, "doubtful+skip: at-most-once, no resend"
+        assert w2.already_committed(0)
+        w2(df, 0)  # further replays are no-ops either way
+        assert len(broker.committed) == n
+
+
+def test_crash_before_commit_record_is_doubtful(spark, tmp_path):
+    """Crash AFTER a successful broker commit but BEFORE record_commit
+    (process death in the log-append window): replay must treat the
+    epoch as doubtful, not silently resend without signal."""
+    from hri_flink_pipeline_core_spark.sinks.kafka_tx import EpochLog
+
+    df = _shaped(spark)
+    broker = _Broker()
+    log = str(tmp_path / "log")
+
+    class _DiesBeforeRecord(KafkaTransactionalWriter):
+        def __call__(self, batch_df, batch_id):
+            orig = self._log.record_commit
+            self._log.record_commit = lambda e: (_ for _ in ()).throw(
+                OSError("process died before log append")
+            )
+            try:
+                super().__call__(batch_df, batch_id)
+            finally:
+                self._log.record_commit = orig
+
+    w1 = _DiesBeforeRecord(
+        "b:9093", "tid", producer_factory=lambda c: _CrashingProducer(broker),
+        commit_log=log,
+    )
+    with pytest.raises(OSError):
+        w1(df, 0)
+    assert len(broker.committed) == 3  # broker commit landed
+    assert EpochLog(log).doubtful() == {0}
+    # skip policy: recovery does not duplicate
+    w2 = KafkaTransactionalWriter(
+        "b:9093", "tid", producer_factory=lambda c: _CrashingProducer(broker),
+        commit_log=log, doubtful_epoch_policy="skip",
+    )
+    w2(df, 0)
+    assert len(broker.committed) == 3
