@@ -2141,12 +2141,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-        # -- (2) new in round 3 + implementations touched in round 3 --
+        # -- (2) new in round 3 + implementations touched in round 3
+        #    (span shared-scan rewrite, window-df BM25/TF-IDF, hybrid
+        #    bucket_pairs consumers, quality-SQL refactor, BLAS guard) --
         "dedup_keep_best": q_dedup_keep_best,
         "shard_assignment": q_shard_assignment,
         "span_cut_text": q_span_cut_text,
         "duplicate_spans": q_duplicate_spans,
         "ann_topk": q_ann_topk,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "containment_pairs": q_containment_pairs,
+        "text_stats": q_text_stats,
         # -- (3) round-2-verified keys (most recent green first) --
         "sessionize_events": q_sessionize_events,
         "bm25_topk": q_bm25_topk,
@@ -2207,7 +2213,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_index": q_zorder_index,
         "weighted_sample": q_weighted_sample,
         "curation_pipeline": q_curation_pipeline,
-        "containment_pairs": q_containment_pairs,
         "approx_percentile_binned": q_approx_percentile_binned,
         "pareto_frontier": q_pareto_frontier,
         "ann_recall": q_ann_recall,
@@ -2233,12 +2238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "validation_invalid": q_validation_invalid,
         "tracker_terminal": q_tracker_terminal,
-        "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact_text": q_dedup_exact_text,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_clusters": q_dedup_clusters,
         "term_topk": q_term_topk,
         "kmv_distinct": q_kmv_distinct,
         "centroid_distances": q_centroid_distances,
