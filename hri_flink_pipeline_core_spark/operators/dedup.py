@@ -189,33 +189,36 @@ def bucket_pairs(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """All within-bucket unordered pairs (``<field>_a`` < ``<field>_b``
-    by the first field) — the workhorse under every LSH-family candidate
-    generator, skew-proof by construction, with a two-path split:
+    by the first field) via a grid-salted self-join — the workhorse under
+    every LSH-family candidate generator, skew-proof by construction.
 
-    - **Normal buckets** (n <= ``small_cap`` — the overwhelming
-      majority): ONE groupBy per bucket collects the sorted member list
-      and expands the i<j pairs IN-ROW (nested transform over the
-      array). One shuffle total, no self-join, no broadcast, no persist
-      — the signature lineage runs once. Memory is bounded by
-      small_cap members (and <= small_cap²/2 expanded pairs) per row.
-    - **Oversized buckets** (rare): grid-salted self-join. A plain
-      bucket self-join hash-partitions each bucket onto ONE task, so a
-      hot bucket (a degenerate band value, an all-identical-chunk
-      duplicate cluster) would serialize its O(n²) comparisons on a
-      single core. Every member gets a grid cell
-      g = pmod(xxhash64(id), G), G = ceil(n/small_cap); side A keeps
-      its own cell as _ga and replicates across all _gb, side B
-      symmetrically; the equi-join on (bucket, _ga, _gb) splits the
-      bucket's comparisons across G² independent, ~small_cap²-bounded
-      tasks. The ``_a < _b`` filter keeps exactly one orientation (for
-      _ga != _gb the mirrored cell produces the reversed orientation,
-      for _ga == _gb both live in one cell — either way exactly one
-      survives). Only this path persists its (tiny, oversized-members-
-      only) input — tracked, see ``release_persisted_intermediates``.
+    A plain bucket self-join hash-partitions each bucket onto ONE task,
+    so a hot bucket (a degenerate band value, an all-identical-chunk
+    duplicate cluster) serializes its O(n²) comparisons on a single core
+    while the rest of the cluster idles. Here every member of a bucket
+    with n > ``small_cap`` gets a grid cell g = pmod(xxhash64(id), G),
+    G = ceil(n/small_cap); side A keeps its own cell as _ga and
+    replicates across all _gb, side B symmetrically; the equi-join on
+    (bucket, _ga, _gb) then splits the bucket's comparisons across G²
+    independent, ~small_cap²-bounded tasks. The ``_a < _b`` filter keeps
+    exactly one orientation of each pair (for _ga != _gb the mirrored
+    cell produces the reversed orientation, for _ga == _gb both live in
+    one cell — either way exactly one survives).
 
-    The oversized-bucket count table is tiny -> broadcast annotate.
+    Buckets at or under ``small_cap`` take G = 1: one cell (0, 0), one
+    replica per side — bit-identical to the plain self-join, zero
+    replication cost. Since oversized buckets are rare, the count table
+    driving G is tiny -> broadcast join (same shape as the old
+    cap_bucket_size blacklist, now carrying the salt factor too).
+
     ``max_bucket`` (optional) drops buckets larger than the cap before
-    any pair work — the LSH skew-blacklist semantic."""
+    any pair work — the LSH skew-blacklist semantic.
+
+    The annotated bucket table is persisted (tracked — see
+    ``release_persisted_intermediates``): it is consumed by both join
+    sides, whose differing projections defeat ReuseExchange, and its
+    lineage contains the (expensive) signature computation. It is small
+    — (keys, id, payload, salt) per member."""
     n_col = F.count(F.lit(1)).alias("_n")
     action_at = small_cap if max_bucket is None else min(small_cap, max_bucket)
     counts = (
@@ -228,48 +231,15 @@ def bucket_pairs(
         annotated = annotated.filter(
             F.col("_n").isNull() | (F.col("_n") <= max_bucket)
         )
-    first = fields[0]
-    pair_cols = [f"{f}_a" for f in fields] + [f"{f}_b" for f in fields]
-
-    # -- normal buckets: in-row sorted pair expansion -------------------
-    small = annotated.filter(F.col("_n").isNull())
-    member_struct = F.struct(*[F.col(f) for f in fields])
-    grouped = small.groupBy(*keys).agg(
-        F.sort_array(F.collect_list(member_struct)).alias("_m")
-    )
-    m = F.col("_m")
-    # element i pairs with every later element (1-based slice from i+2);
-    # the sort makes a.first <= b.first, the strict filter below drops
-    # equal-first pairs — identical semantics to the join path.
-    pairs_arr = F.flatten(
-        F.transform(
-            m,
-            lambda x, i: F.transform(
-                F.slice(
-                    m,
-                    i + F.lit(2),
-                    F.greatest(F.size(m) - i - F.lit(1), F.lit(0)),
-                ),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    small_pairs = (
-        grouped.select(F.explode(pairs_arr).alias("_p"))
-        .select(
-            *[F.col(f"_p.a.{f}").alias(f"{f}_a") for f in fields],
-            *[F.col(f"_p.b.{f}").alias(f"{f}_b") for f in fields],
-        )
-        .filter(F.col(f"{first}_a") < F.col(f"{first}_b"))
-    )
-
-    # -- oversized buckets: grid-salted self-join -----------------------
-    member = (
-        annotated.filter(F.col("_n").isNotNull())
-        .withColumn("_g", F.ceil(F.col("_n") / F.lit(small_cap)).cast("int"))
-        .drop("_n")
-    )
+    member = annotated.withColumn(
+        "_g",
+        F.coalesce(
+            F.ceil(F.col("_n") / F.lit(small_cap)).cast("int"), F.lit(1)
+        ),
+    ).drop("_n")
     member = _persist(member)
+
+    first = fields[0]
     cell = F.pmod(F.xxhash64(F.col(first)), F.col("_g")).cast("int")
     gb_range = F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
     side_a = member.select(
@@ -284,12 +254,12 @@ def bucket_pairs(
         cell.alias("_gb"),
         *[F.col(f).alias(f"{f}_b") for f in fields],
     )
-    big_pairs = (
+    pair_cols = [f"{f}_a" for f in fields] + [f"{f}_b" for f in fields]
+    return (
         side_a.join(side_b, [*keys, "_ga", "_gb"])
         .filter(F.col(f"{first}_a") < F.col(f"{first}_b"))
         .select(*pair_cols)
     )
-    return small_pairs.unionByName(big_pairs)
 
 
 def minhash_lsh_candidates(
