@@ -25,17 +25,22 @@ Reference graph -> Spark mapping:
      Mgmt-API HTTP sink.
 
 Delivery semantics: Spark checkpointing gives exactly-once *state* and
-at-least-once *sink* writes. Two exactly-once options mirror the
-reference's transactional producer (BaseValidationJob.scala:252-259):
+at-least-once *sink* writes. Three exactly-once options mirror the
+reference's parallel transactional producers
+(BaseValidationJob.scala:252-259):
 
-- sinks/kafka_tx.KafkaTransactionalWriter — a BatchSink that wraps each
-  micro-batch in ONE Kafka transaction (begin/commit, abort-on-failure)
-  with an epoch commit log so replays skip; pass it as valid_sink /
-  invalid_sink / notification_out_sink.
+- sinks/kafka_tx.KafkaPartitionedTransactionalWriter — the bulk-topic
+  path: one transactional producer PER PARTITION on the executors,
+  per-partition epoch logs; throughput scales with executor count.
+  Pass as valid_sink / invalid_sink.
+- sinks/kafka_tx.KafkaTransactionalWriter — the control-plane path: a
+  BatchSink that wraps each micro-batch in ONE driver-side Kafka
+  transaction (begin/commit, abort-on-failure) with an epoch commit
+  log so replays skip; right for notification_out_sink.
 - the offset-identity idempotence contract: every valid record carries
   its source (topic, partition, offset), so replayed at-least-once
   writes are dedupable downstream (SURVEY.md §4, "exactly-once" row) —
-  the bulk-data scale path.
+  also the backstop for the writers' documented doubtful-epoch resend.
 
 File sinks via foreachBatch write to per-micro-batch subdirectories
 keyed by batch_id, which makes replays overwrite rather than duplicate.
