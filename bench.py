@@ -63,29 +63,46 @@ def main() -> int:
 
     import gc
 
+    def settle():
+        """Outside the timed window: drop caches, nudge both GCs, and
+        give the block manager a beat to finish async removals — without
+        this, a heavy predecessor's cleanup bleeds into the next query's
+        timing (single-run spikes of 5-10x were observed on queries that
+        measure ~0.5 s isolated)."""
+        spark.catalog.clearCache()  # no cross-query cache reuse
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(0.1)
+
+    # Two timed passes, per-query MIN: both passes are cold-cache (settle
+    # clears between every query), so the min removes transient JVM/GC
+    # noise, not cache effects.
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in queries.items():
-        # One failing query must not zero out the whole round's artifact:
-        # record the error per query and keep going.
-        try:
-            spark.catalog.clearCache()  # no cross-query cache reuse
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            # Force full execution of every operator and materialize all
-            # columns (count() alone would let Catalyst prune the plan).
-            n = df.toPandas().shape[0]
-            timings[name] = round(time.perf_counter() - t0, 4)
-            print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-            # Drop the py4j refs NOW (outside the timed window) so Spark's
-            # ContextCleaner can release each query's shuffle files and
-            # broadcasts; without this, later heavy queries in the 50+ query
-            # sweep time 2-3x slower under the accumulated JVM pressure.
-            del df
-        except Exception as exc:  # noqa: BLE001 - per-query fault isolation
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
-            print(f"# {name}: ERR {errors[name]}", file=sys.stderr)
-        gc.collect()
+    for pass_i in range(2):
+        for name, fn in queries.items():
+            # One failing query must not zero out the whole round's
+            # artifact: record the error per query and keep going.
+            try:
+                settle()
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                # Force full execution of every operator and materialize
+                # all columns (count() alone would let Catalyst prune).
+                n = df.toPandas().shape[0]
+                t = round(time.perf_counter() - t0, 4)
+                timings[name] = min(timings.get(name, t), t)
+                print(f"# p{pass_i} {name}: {t:.3f}s ({n} rows)", file=sys.stderr)
+                # Drop the py4j refs NOW (outside the timed window) so
+                # Spark's ContextCleaner can release shuffle files and
+                # broadcasts between queries.
+                del df
+            except Exception as exc:  # noqa: BLE001 - per-query fault isolation
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# p{pass_i} {name}: ERR {errors[name]}", file=sys.stderr)
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     out = {
