@@ -273,7 +273,11 @@ def minhash_lsh_candidates(
     (band, band_hash); pairs generated inside buckets only; bucket size
     capped at ``max_bucket`` (skew guard — a pathological band value
     would otherwise quadratically explode one task)."""
-    banded = minhash_signatures(df, text_col, id_col, k)
+    # persist the per-doc signature table (tracked; one skinny row per
+    # doc) BEFORE the band explode: bucket_pairs consumes its input
+    # twice (bucket-count aggregate + member table), and without this
+    # the whole shingle->minhash pipeline runs once per consumer.
+    banded = _persist(minhash_signatures(df, text_col, id_col, k))
     band_cols = minhash_bands(F.col("sig"))
     exploded = banded.select(
         "doc_id",
@@ -421,8 +425,10 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= 3: pigeonhole bucketing on
-    4 x 15-bit chunks (one shuffle), then exact bit_count(xor) verify."""
-    based = simhash_table(df, text_col, id_col)
+    4 x 15-bit chunks (one shuffle), then exact bit_count(xor) verify.
+    The per-doc signature table persists (tracked) so the token-explode
+    + 60-vote pipeline runs once, not once per bucket_pairs consumer."""
+    based = _persist(simhash_table(df, text_col, id_col))
     chunks = simhash_chunks(F.col("sh"))
     exploded = based.select(
         "doc_id",

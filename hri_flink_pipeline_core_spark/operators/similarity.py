@@ -228,6 +228,9 @@ def cosine_neardup_lsh(
     equi-join on the bucket key (one shuffle, pair count bounded by
     bucket occupancy). Recall tradeoff: cross-bucket near-dups are
     missed; add multi-probe (fewer signature bits) to raise recall."""
+    # NOT persisted (measured): the 8-dot hyperplane signature is cheap
+    # enough that recomputing it per join side beats a persist
+    # populate barrier (1.25 s vs 1.72 s at sf0.1).
     sigs = hyperplane_signatures(df, vec_col, id_col).withColumnRenamed(
         "id", id_col
     )

@@ -373,3 +373,78 @@ def test_streaming_restart_no_duplicates_in_broker(spark, tmp_path):
     keys = sorted(k for k, _, _ in out)
     assert keys == [b"0", b"1", b"2", b"3", b"4"], keys  # exactly once each
     assert broker.events.count("abort") == 0
+
+
+def test_streaming_restart_partitioned_writer_no_duplicates(spark, tmp_path):
+    """The same exactly-once-across-restart scenario through the
+    EXECUTOR-PARALLEL writer (KafkaPartitionedTransactionalWriter): the
+    shaped micro-batch is produced from foreachPartition inside Python
+    workers (file-backed fake broker — workers are separate processes),
+    one transactional producer + epoch log per partition. After a stop,
+    new data, and a fresh-writer resume from the same checkpoint and
+    commit-log dir, every record must sit in the broker exactly once."""
+    import time as _time
+
+    from hri_flink_pipeline_core_spark.operators.validation import validate_records
+    from hri_flink_pipeline_core_spark.sinks.kafka_tx import (
+        KafkaPartitionedTransactionalWriter,
+    )
+    from tests.test_kafka_tx import _file_fake_factory
+
+    work = str(tmp_path)
+    rec_dir = os.path.join(work, "rec")
+    topics = derive_topics(TOPIC)
+    ckpt = os.path.join(work, "ckpt")
+    broker_file = os.path.join(work, "broker.log")
+
+    notif = Row(
+        id="batch-P", name="p", topic=TOPIC, dataType="claims",
+        status=Status.STARTED, startDate=None, endDate=None,
+        expectedRecordCount=100, actualRecordCount=None,
+        invalidRecordCount=None, invalidThreshold=50,
+        failureMessage=None, metadata=None,
+    )
+    notif_df = spark.createDataFrame([notif], BATCH_NOTIFICATION_SCHEMA).withColumn(
+        "offset", F.lit(0).cast("long")
+    )
+
+    os.makedirs(rec_dir)
+    spark.createDataFrame(
+        [hri_row("batch-P", offset=i) for i in range(4)], HRI_RECORD_SCHEMA
+    ).write.mode("append").parquet(rec_dir)
+
+    def run_once():
+        writer = KafkaPartitionedTransactionalWriter(
+            "fake:9093", "ptx-stream",
+            producer_factory=_file_fake_factory(broker_file),
+            commit_log_dir=os.path.join(work, "txlogs"),
+        )
+
+        def sink(batch_df, batch_id):
+            out = validate_records(batch_df, notif_df).valid
+            writer(ksink.hri_record_sink(out, topics.output_topic), batch_id)
+
+        stream = read_table_stream(
+            spark, rec_dir, HRI_RECORD_SCHEMA, max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    with open(broker_file) as fh:
+        assert len([l for l in fh.read().splitlines() if l]) == 4
+
+    spark.createDataFrame(
+        [hri_row("batch-P", offset=i) for i in range(4, 6)], HRI_RECORD_SCHEMA
+    ).write.mode("append").parquet(rec_dir)
+    run_once()  # fresh writer, same checkpoint + per-partition logs
+
+    with open(broker_file) as fh:
+        lines = [l for l in fh.read().splitlines() if l]
+    keys = sorted(l.split("\t")[2] for l in lines)
+    assert keys == ["0", "1", "2", "3", "4", "5"], keys  # exactly once each
