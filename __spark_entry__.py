@@ -1579,9 +1579,11 @@ def q_centroid_distances(spark, sf_dir):
     per-label centroids — the centroid self-join is k x k (tiny), so the
     corpus-scale mean computation is persisted and runs once."""
     emb = _tp(spark, sf_dir, "embeddings")
-    cents = S.kmeans_quantized_update(
-        emb.select(F.col("label").alias("cluster"), F.col("embedding").alias("_vec"))
-    ).persist()
+    cents = D._persist(
+        S.kmeans_quantized_update(
+            emb.select(F.col("label").alias("cluster"), F.col("embedding").alias("_vec"))
+        )
+    )
     a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("_ca"))
     b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("_cb"))
     return (
@@ -1939,7 +1941,7 @@ def q_triangle_count(spark, sf_dir):
     pair graph, never the corpus. Edge lists are canonically a < b so
     each triangle (a<b<c) is counted exactly once."""
     docs = _tp(spark, sf_dir, "documents")
-    edges = D.minhash_lsh_candidates(docs).persist()
+    edges = D._persist(D.minhash_lsh_candidates(docs))
     ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     ac = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))

@@ -52,15 +52,16 @@ def pagerank(
     convergence alternative (iterate until delta < eps) is the same
     loop with a driver-side stopping check on an aggregated delta.
     """
+    from .dedup import _persist
+
     edges = edges.select("src", "dst").distinct()
-    nodes = (
+    nodes = _persist(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
-    ed = edges.join(outdeg, "src").persist()
+    ed = _persist(edges.join(outdeg, "src"))
 
     rank = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(iterations):
@@ -83,6 +84,6 @@ def pagerank(
                     * (F.coalesce(F.col("_sq"), F.lit(0)) / F.lit(quantum))
                 ).alias("pr"),
             )
-            .persist()
         )
+        rank = _persist(rank)
     return rank.select("node", F.col("pr").alias("pagerank"))
