@@ -317,3 +317,23 @@ def test_winsorized_bounds_are_broadcast(spark, sf001):
     plan = plan_of(entry.q_winsorized_stats(spark, sf001), mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dedup_keep_best_broadcasts_cluster_membership(spark, sf001):
+    """The corpus-side quality scan must join the (small) cluster
+    membership without shuffling the corpus: a broadcast hash join, and
+    the canonical-selection window shares one cluster_id partitioning."""
+    plan = plan_of(entry.q_dedup_keep_best(spark, sf001), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") >= 1
+    assert plan.count("hashpartitioning(cluster_id") <= 2
+
+
+def test_shard_assignment_single_shuffle_partial_agg(spark, sf001):
+    """Deterministic sharding is ONE hash-partition shuffle with map-side
+    partial aggregation — the content hash runs on the scan side."""
+    plan = plan_of(entry.q_shard_assignment(spark, sf001), mode="simple")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # one exchange for the groupBy(shard); nothing else shuffles
+    assert plan.count("Exchange") <= 2  # agg exchange (+ AQE read)
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
