@@ -221,15 +221,24 @@ class KafkaTransactionalWriter:
         ):
             return
         producer = self._get_producer()
-        producer.begin_transaction()
         try:
+            producer.begin_transaction()
             # toLocalIterator: rows stream to the driver one partition
             # at a time — bounded memory, no full collect.
             self.send_rows(producer, batch_df.toLocalIterator())
             self._log.record_intent(batch_id)
             producer.commit_transaction()
         except Exception:
-            producer.abort_transaction()
+            try:
+                producer.abort_transaction()
+            except Exception:
+                # A producer that cannot even abort is fenced or dead
+                # (e.g. a newer incarnation bumped the epoch). Drop the
+                # cached handle so the next epoch re-inits instead of
+                # failing every subsequent batch of this long-lived
+                # writer. After a SUCCESSFUL abort the producer is
+                # reusable per the Kafka client contract — keep it.
+                self._producer = None
             raise
         self._log.record_commit(batch_id)
 
@@ -327,13 +336,22 @@ class KafkaPartitionedTransactionalWriter:
             # partition migrates to another worker, the new producer's
             # init fences the old one — safe by construction.
             producer = _worker_producer(factory, pconf)
-            producer.begin_transaction()
             try:
+                producer.begin_transaction()
                 KafkaTransactionalWriter.send_rows(producer, rows)
                 log.record_intent(epoch)
                 producer.commit_transaction()
             except Exception:
-                producer.abort_transaction()
+                try:
+                    producer.abort_transaction()
+                except Exception:
+                    # Cannot even abort -> fenced or dead (the partition
+                    # migrated to another worker and back, so a newer
+                    # incarnation bumped the epoch). Evict the cached
+                    # handle so the task retry re-inits a fresh producer
+                    # instead of failing forever. After a successful
+                    # abort the producer is reusable — keep it cached.
+                    _WORKER_PRODUCERS.pop(pconf["transactional.id"], None)
                 raise
             log.record_commit(epoch)
 

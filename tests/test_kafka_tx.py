@@ -605,3 +605,43 @@ def test_crash_before_commit_record_is_doubtful(spark, tmp_path):
     )
     w2(df, 0)
     assert len(broker.committed) == 3
+
+
+def test_fenced_producer_replaced_after_failed_abort(spark, tmp_path):
+    """A producer that cannot even abort is fenced/dead (a newer
+    incarnation bumped the Kafka epoch). The writer must evict it so the
+    next epoch re-inits a fresh producer — otherwise a long-lived driver
+    fails every subsequent batch through the dead handle. After a
+    SUCCESSFUL abort the producer is kept (Kafka contract: reusable)."""
+    produced = []
+
+    def factory(conf):
+        p = FakeProducer(conf)
+        produced.append(p)
+        return p
+
+    w = KafkaTransactionalWriter(
+        "b:9093", "tid", producer_factory=factory,
+        commit_log=str(tmp_path / "log"),
+    )
+    df = _shaped(spark)
+    w(df, 0)
+    p = produced[0]
+    # transient failure, abort succeeds -> same producer kept
+    p.fail_on_send = True
+    with pytest.raises(RuntimeError, match="broker gone"):
+        w(df, 1)
+    p.fail_on_send = False
+    w(df, 1)
+    assert len(produced) == 1
+    # fenced: send fails AND abort throws -> producer evicted
+    p.fail_on_send = True
+    p.abort_transaction = lambda: (_ for _ in ()).throw(
+        RuntimeError("ProducerFencedException")
+    )
+    with pytest.raises(RuntimeError, match="broker gone"):
+        w(df, 2)
+    w(df, 2)  # recovery: a FRESH producer (init_transactions re-fences)
+    assert len(produced) == 2
+    assert produced[1].calls[0] == "init_transactions"
+    assert w.already_committed(2)
