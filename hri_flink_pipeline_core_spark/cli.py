@@ -83,11 +83,20 @@ def main(argv=None) -> None:
         # control-plane notification sink below keeps the driver-side
         # single-transaction writer.
         def tx_sink(shape_fn, topic, tid):
+            # NOTE the log path is tx-partition-commits-<tid> (a DIR of
+            # per-partition logs), deliberately DIFFERENT from the old
+            # driver-writer's tx-commits-<tid> FILE — reusing that path
+            # would crash on upgrade (file where a dir is needed) and
+            # the old whole-epoch records can't map to per-partition
+            # granularity anyway. Upgrade cleanly: stop the query (no
+            # in-flight replay), then restart with the new release.
             writer = KafkaPartitionedTransactionalWriter(
                 bootstrap,
                 f"hri-validation-{topics.tenant_id}-{tid}",
                 producer_factory=confluent_producer_factory,
-                commit_log_dir=_os.path.join(args.workdir, f"tx-commits-{tid}"),
+                commit_log_dir=_os.path.join(
+                    args.workdir, f"tx-partition-commits-{tid}"
+                ),
             )
             return lambda df, b: writer(shape_fn(df, topic), b)
 

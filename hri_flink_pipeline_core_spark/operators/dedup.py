@@ -59,38 +59,14 @@ def _perm_constants(num_hashes: int = NUM_HASHES, seed: int = _SEED):
 
 PERMS = _perm_constants()
 
-# Operators below persist intermediates whose lineage is expensive and
-# consumed more than once (bucket member tables, shingle/token rows,
-# CC labels). Spark never evicts those CacheManager entries on its own,
-# so a long-lived driver that calls these operators repeatedly would
-# accumulate cached plans for the session lifetime. Every internal
-# persist is therefore routed through _persist() and recorded here;
-# long-lived drivers call release_persisted_intermediates() between
-# jobs (batch callers that end the session can ignore it — session
-# teardown drops the cache). The registry holds strong refs on purpose:
-# a GC'd Python DataFrame does NOT unpersist its JVM-side cache entry.
-_LIVE_PERSISTS: list[DataFrame] = []
-
-
-def _persist(df: DataFrame) -> DataFrame:
-    df = df.persist()
-    _LIVE_PERSISTS.append(df)
-    return df
-
-
-def release_persisted_intermediates() -> int:
-    """Unpersist every intermediate cached by this module's operators
-    since the last release; returns the number released. Safe to call
-    at any time — the cached data is re-derivable from lineage."""
-    n = 0
-    for df in _LIVE_PERSISTS:
-        try:
-            df.unpersist(blocking=False)
-            n += 1
-        except Exception:  # session already stopped — nothing to free
-            pass
-    _LIVE_PERSISTS.clear()
-    return n
+# Tracked-persist registry shared across operator modules: see
+# operators/cache.py for the contract (strong refs until release; call
+# release_persisted_intermediates() in long-lived drivers). Re-exported
+# here because this module's operators are the main users.
+from .cache import (  # noqa: E402  (re-export)
+    release_persisted_intermediates,
+    tracked_persist as _persist,
+)
 
 
 def dedup_exact_text(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

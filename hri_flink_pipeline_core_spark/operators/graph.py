@@ -52,7 +52,7 @@ def pagerank(
     convergence alternative (iterate until delta < eps) is the same
     loop with a driver-side stopping check on an aggregated delta.
     """
-    from .dedup import _persist
+    from .cache import tracked_persist as _persist
 
     edges = edges.select("src", "dst").distinct()
     nodes = _persist(

@@ -270,16 +270,20 @@ def ann_topk_blas(
     import numpy as np
     import pandas as pd
 
-    n_q = queries.count()
-    if n_q > MAX_BLAS_QUERIES:
+    # Guard without a separate count() job: collect at most cap+1 rows
+    # in the same single job — driver memory stays bounded either way,
+    # and the query-side lineage executes once, not twice.
+    q_rows = (
+        queries.select(query_id, vec_col).limit(MAX_BLAS_QUERIES + 1).collect()
+    )
+    if len(q_rows) > MAX_BLAS_QUERIES:
         raise ValueError(
-            f"ann_topk_blas collected query side has {n_q} rows "
-            f"(> {MAX_BLAS_QUERIES}): this operator broadcasts the query "
-            "matrix and is meant for small query sets. For large query "
-            "sets use ann_ivf_probe / lsh_bucket variants (bucketed, "
-            "no driver collect)."
+            f"ann_topk_blas collected query side exceeds "
+            f"{MAX_BLAS_QUERIES} rows: this operator broadcasts the "
+            "query matrix and is meant for small query sets. For large "
+            "query sets use ann_ivf_probe / lsh_bucket variants "
+            "(bucketed, no driver collect)."
         )
-    q_rows = queries.select(query_id, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows])
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)

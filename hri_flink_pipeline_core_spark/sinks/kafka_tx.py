@@ -52,7 +52,9 @@ Protocol, common to both writers:
   init_transactions and aborts its in-flight transaction).
 
 Cluster note: the commit logs must live on storage all executors and the
-driver share across restarts (the checkpoint filesystem — HDFS/S3/NFS),
+driver share across restarts — a POSIX-mount filesystem (HDFS/NFS/
+fuse-mounted stores; a plain S3 bucket needs an object-store log
+implementation, the append/fsync here speaks POSIX only) —
 exactly like Spark's own checkpoint dir. The parallel writer also
 assumes the micro-batch's partitioning is deterministic under replay
 (true for source-offset-defined partitions; do not round-robin
@@ -89,32 +91,54 @@ class EpochLog:
     """Durable append-only epoch log with a two-record commit protocol.
 
     Line format: ``I <epoch>`` (intent — about to commit_transaction),
-    ``C <epoch>`` (commit confirmed). Bare ``<epoch>`` lines from the
-    round-2 single-record format parse as commits (backward compatible).
-    Appends are fsynced — the record must survive the crash it exists to
-    witness."""
+    ``C <epoch>`` (commit confirmed), ``A <epoch>`` (abort confirmed —
+    the broker definitively has NO data for this attempt, so the epoch
+    is NOT doubtful; a later attempt may still commit it). Bare
+    ``<epoch>`` lines from the round-2 single-record format parse as
+    commits (backward compatible). Appends are fsynced — the record must
+    survive the crash it exists to witness.
+
+    Storage contract: the log speaks POSIX (open/append/fsync) — a
+    local disk, HDFS/NFS mount, or any shared POSIX filesystem. Plain
+    object stores (S3 without a mount) need an object-store log
+    implementation instead. The log grows two or three short lines per
+    epoch; production deployments should rotate/compact it past ~1e6
+    epochs (replays only ever consult recent epochs)."""
 
     def __init__(self, path: Optional[str]) -> None:
         self.path = path
         self.committed: set[int] = set()
         self._intents: set[int] = set()
+        self._aborted: set[int] = set()
         if path and os.path.exists(path):
             with open(path, "r", encoding="utf-8") as fh:
+                # Replay applies the same transitions as record_* so the
+                # in-memory state reflects the LAST record per epoch
+                # (an epoch can legally go I -> A -> I across attempts;
+                # a set-union parse would mistake the re-armed intent
+                # for an aborted one).
                 for line in fh:
                     line = line.strip()
                     if not line:
                         continue
                     if line.startswith("I "):
-                        self._intents.add(int(line[2:]))
+                        e = int(line[2:])
+                        self._aborted.discard(e)
+                        self._intents.add(e)
                     elif line.startswith("C "):
                         self.committed.add(int(line[2:]))
+                    elif line.startswith("A "):
+                        self._aborted.add(int(line[2:]))
                     else:  # legacy single-record commit line
                         self.committed.add(int(line))
 
     def doubtful(self) -> set[int]:
         """Epochs whose intent was logged but whose commit record never
-        landed: the broker-side outcome is unknown."""
-        return self._intents - self.committed
+        landed AND whose transaction was not known-aborted: the
+        broker-side outcome is genuinely unknown. A successful abort
+        clears the doubt — the writer positively knows nothing
+        committed, so the retry is a plain re-send, not a policy case."""
+        return self._intents - self.committed - self._aborted
 
     def _append(self, rec: str) -> None:
         if not self.path:
@@ -126,12 +150,19 @@ class EpochLog:
             os.fsync(fh.fileno())
 
     def record_intent(self, epoch: int) -> None:
+        # A re-attempt after an abort re-arms the intent: the new
+        # transaction's outcome is once again unknown until C/A lands.
+        self._aborted.discard(epoch)
         self._intents.add(epoch)
         self._append(f"I {epoch}")
 
     def record_commit(self, epoch: int) -> None:
         self.committed.add(epoch)
         self._append(f"C {epoch}")
+
+    def record_abort(self, epoch: int) -> None:
+        self._aborted.add(epoch)
+        self._append(f"A {epoch}")
 
 
 def _resolve_doubtful(log: EpochLog, epoch: int, policy: str, who: str) -> bool:
@@ -239,6 +270,18 @@ class KafkaTransactionalWriter:
                 # writer. After a SUCCESSFUL abort the producer is
                 # reusable per the Kafka client contract — keep it.
                 self._producer = None
+            else:
+                # The abort SUCCEEDED: the broker definitively has no
+                # data for this attempt. If an intent was already
+                # logged (commit_transaction was the failing call),
+                # record the abort so the retry is a plain re-send, not
+                # a doubtful-epoch policy case — under 'skip' the
+                # misclassification would silently drop the batch.
+                if batch_id in self._log.doubtful():
+                    try:
+                        self._log.record_abort(batch_id)
+                    except Exception:
+                        pass  # never mask the original failure
             raise
         self._log.record_commit(batch_id)
 
@@ -307,6 +350,21 @@ class KafkaPartitionedTransactionalWriter:
         self.producer_conf = conf
 
     def __call__(self, batch_df, batch_id: int) -> None:
+        # Speculative execution would launch concurrent attempts of the
+        # same partition; both could pass the committed-epoch check
+        # before either appends its commit record, and the second
+        # attempt would re-send the rows in a second transaction —
+        # duplicates under read_committed. Transactional foreachPartition
+        # sinks require speculation OFF (the standard constraint);
+        # enforce it rather than document-and-hope.
+        sc_conf = batch_df.sparkSession.sparkContext.getConf()
+        if sc_conf.get("spark.speculation", "false").lower() == "true":
+            raise RuntimeError(
+                "KafkaPartitionedTransactionalWriter requires "
+                "spark.speculation=false: speculative duplicate attempts "
+                "of one partition break the per-partition epoch-log "
+                "exactly-once protocol"
+            )
         # Locals only in the closure — `self` must not ship to executors.
         conf = dict(self.producer_conf)
         factory = self._factory
@@ -352,6 +410,15 @@ class KafkaPartitionedTransactionalWriter:
                     # instead of failing forever. After a successful
                     # abort the producer is reusable — keep it cached.
                     _WORKER_PRODUCERS.pop(pconf["transactional.id"], None)
+                else:
+                    # Successful abort after a logged intent: record it
+                    # so the replay treats the epoch as plainly
+                    # uncommitted, not doubtful (see driver writer).
+                    if epoch in log.doubtful():
+                        try:
+                            log.record_abort(epoch)
+                        except Exception:
+                            pass
                 raise
             log.record_commit(epoch)
 

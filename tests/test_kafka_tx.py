@@ -493,11 +493,13 @@ class _CrashingProducer:
         self.crash_at = crash_at
         self._buf = []
         self._n_send = 0
+        self._committed_this_txn = False
 
     def init_transactions(self):
         pass
 
     def begin_transaction(self):
+        self._committed_this_txn = False
         if self.crash_at == "begin":
             self.crash_at = None
             raise RuntimeError("crash@begin")
@@ -517,11 +519,17 @@ class _CrashingProducer:
             raise RuntimeError("crash@commit-before")
         self.broker.committed.extend(self._buf)
         self._buf = []
+        self._committed_this_txn = True
         if self.crash_at == "commit_effect_then_raise":
             self.crash_at = None
             raise RuntimeError("crash@commit-after-effect")
 
     def abort_transaction(self):
+        # Kafka-client reality: once the commit took effect, abort is
+        # illegal and raises — the writer must not get a false
+        # "definitively uncommitted" signal for a committed txn.
+        if self._committed_this_txn:
+            raise RuntimeError("abort after effectful commit")
         self._buf = []
 
 
@@ -645,3 +653,50 @@ def test_fenced_producer_replaced_after_failed_abort(spark, tmp_path):
     assert len(produced) == 2
     assert produced[1].calls[0] == "init_transactions"
     assert w.already_committed(2)
+
+
+def test_aborted_intent_is_not_doubtful(spark, tmp_path):
+    """Regression (round-3 review): a commit_transaction failure whose
+    abort SUCCEEDS means the broker definitively has no data — the
+    epoch must NOT be classified doubtful, or policy 'skip' would
+    silently drop the batch on replay. The abort record clears the
+    intent; the replay is a plain re-send under EVERY policy."""
+    from hri_flink_pipeline_core_spark.sinks.kafka_tx import EpochLog
+
+    df = _shaped(spark)  # 3 rows
+    for policy in ("resend", "skip", "fail"):
+        broker = _Broker()
+        log = str(tmp_path / f"log-{policy}")
+        producer = _CrashingProducer(broker, crash_at="commit_before_effect")
+        w1 = KafkaTransactionalWriter(
+            "b:9093", "tid", producer_factory=lambda conf: producer,
+            commit_log=log, doubtful_epoch_policy=policy,
+        )
+        with pytest.raises(RuntimeError, match="crash@commit-before"):
+            w1(df, 0)
+        assert EpochLog(log).doubtful() == set(), policy
+        w2 = KafkaTransactionalWriter(
+            "b:9093", "tid",
+            producer_factory=lambda conf: _CrashingProducer(broker),
+            commit_log=log, doubtful_epoch_policy=policy,
+        )
+        w2(df, 0)  # replay: plain re-send, no policy involvement
+        assert len(broker.committed) == 3, policy
+        assert w2.already_committed(0)
+
+
+def test_epoch_log_rearmed_intent_after_abort(tmp_path):
+    """I -> A -> I must parse as doubtful (the re-attempt's outcome is
+    unknown), while I -> A alone is not — last record per epoch wins."""
+    from hri_flink_pipeline_core_spark.sinks.kafka_tx import EpochLog
+
+    path = str(tmp_path / "log")
+    with open(path, "w") as fh:
+        fh.write("I 1\nA 1\nI 2\nA 2\nI 2\n")
+    log = EpochLog(path)
+    assert log.doubtful() == {2}
+    log2 = EpochLog(path)
+    log2.record_abort(2)
+    assert log2.doubtful() == set()
+    log2.record_intent(2)
+    assert log2.doubtful() == {2}
