@@ -285,6 +285,105 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+_NEW_SOURCES = ("src0", "src1", "src2", "src3")
+_NEW_WHERE_SQL = "source IN ('src0','src1','src2','src3')"
+
+
+def q_incremental_neardup(spark, sf_dir):
+    """Incremental-ingest dedup: score every NEW document (sources
+    src0-src3 play the incoming batch) against the reference corpus (the
+    rest) — cross-corpus MinHash-LSH candidates with the NEW side
+    broadcast (the corpus never shuffles for candidate generation), then
+    exact n-gram Jaccard verification, then a per-new-doc admission
+    verdict. The operator real pipelines run on every crawl increment:
+    dedup today's batch against 100 TB WITHOUT re-pairing the corpus
+    with itself."""
+    docs = _tp(spark, sf_dir, "documents")
+    return D.incremental_neardup(
+        docs, F.col("source").isin(*_NEW_SOURCES), threshold=0.5
+    )
+
+
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table: coarse
+    k-means-seeded clusters (quantized label means), within-cluster
+    cosine >= 0.9 prune (keep smallest id), per-cluster survivor stats.
+    Pair work is bounded per cluster — the paper's trick for running
+    semantic dedup at web scale."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.semdedup_prune(emb, threshold=0.9)
+
+
+def q_pq_code_histogram(spark, sf_dir):
+    """Product-quantization build + encode observable: per-(subspace,
+    code) occupancy + id checksum after encoding every corpus vector to
+    4 sub-codes (argmax quantized inner product against the per-subspace
+    codebook). 64 floats -> 4 small ints per vector — the compression
+    that fits a 100 TB embedding corpus into cluster RAM."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.pq_code_histogram(emb)
+
+
+def q_ann_pq_adc(spark, sf_dir):
+    """PQ asymmetric-distance ANN: queries (vec_id < 20) precompute a
+    tiny (sub, code) -> partial-dot LUT; each corpus vector's
+    approximate inner product is 4 integer adds over its codes — no
+    per-pair dim-wide math. Integer-quantized partials make the
+    cross-subspace sum order-independent (exact cross-engine)."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ann_pq_adc(queries, emb, k=5)
+
+
+_VOCAB_CHECKPOINTS = (100, 1000, 5000, 10000)
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Trigram-vocabulary coverage curve — the tokenizer-design
+    measurement: what fraction of the corpus's n-gram stream do the
+    top-N vocabulary entries cover, at N in {100, 1k, 5k, 10k}.
+
+    Scale shape: the n-gram stream explodes once and immediately
+    collapses into a VOCABULARY-keyed partial-agg count (corpus-size
+    rows in, distinct-gram rows out); the ranking window runs over the
+    aggregated vocabulary only (orders of magnitude smaller than the
+    corpus — for web-scale vocabularies switch to a range-partitioned
+    two-pass rank, same downstream shape); checkpoints and the scalar
+    total are broadcast."""
+    docs = _tp(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(TX.shingles(F.col("text"), 3)).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as SW
+
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(SW.orderBy(F.col("cnt").desc(), F.col("g").asc())),
+    )
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    cps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(c) for c in _VOCAB_CHECKPOINTS])
+        ).alias("vocab_size")
+    )
+    per = (
+        ranked.join(
+            F.broadcast(cps), F.col("rnk") <= F.col("vocab_size")
+        )
+        .groupBy("vocab_size")
+        .agg(F.sum("cnt").alias("covered_tokens"))
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "vocab_size",
+        "covered_tokens",
+        F.col("tot").alias("total_tokens"),
+        (F.col("covered_tokens").cast("double") / F.col("tot").cast("double")).alias(
+            "coverage"
+        ),
+    )
+
+
 def q_shard_assignment(spark, sf_dir):
     """Deterministic content-keyed output sharding — the 'global shuffle'
     a training-data writer needs: shard = hash32(normalized content key)
@@ -2143,6 +2242,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+        # -- (1b) new in round-3 continuation: incremental cross-corpus
+        #    dedup, SemDeDup prune, product-quantization ANN (build/
+        #    encode + ADC search), vocabulary coverage --
+        "incremental_neardup": q_incremental_neardup,
+        "semdedup_prune": q_semdedup_prune,
+        "pq_code_histogram": q_pq_code_histogram,
+        "ann_pq_adc": q_ann_pq_adc,
+        "vocab_coverage": q_vocab_coverage,
         # -- (2) new in round 3 + implementations touched in round 3
         #    (span shared-scan rewrite, window-df BM25/TF-IDF, hybrid
         #    bucket_pairs consumers, quality-SQL refactor, BLAS guard) --
@@ -2774,6 +2881,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": O.dedup_clusters_sql(),
         "dedup_keep_best": O.dedup_keep_best_sql(),
         "shard_assignment": O.shard_assignment_sql(),
+        "incremental_neardup": O.incremental_neardup_sql(_NEW_WHERE_SQL),
+        "semdedup_prune": O.semdedup_prune_sql(threshold=0.9),
+        "pq_code_histogram": O.pq_code_histogram_sql(),
+        "ann_pq_adc": O.ann_pq_adc_sql(k=5, n_queries=20),
+        "vocab_coverage": O.vocab_coverage_sql(_VOCAB_CHECKPOINTS),
         "centroid_distances": f"""
             WITH means AS ({O.ivf_centroids_sql()}),
             cent AS (

@@ -238,6 +238,32 @@ def bucket_pairs(
     )
 
 
+def minhash_banded_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """(doc_id, band, bucket) LSH band rows. The per-doc signature table
+    is persisted (tracked; one skinny row per doc) BEFORE the band
+    explode: downstream consumers (bucket-count aggregate + join side)
+    each re-enter the plan, and without the persist the whole
+    shingle->minhash pipeline runs once per consumer."""
+    banded = _persist(minhash_signatures(df, text_col, id_col, k))
+    band_cols = minhash_bands(F.col("sig"))
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("band"), c.alias("bucket"))
+                    for i, c in enumerate(band_cols)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -249,23 +275,7 @@ def minhash_lsh_candidates(
     (band, band_hash); pairs generated inside buckets only; bucket size
     capped at ``max_bucket`` (skew guard — a pathological band value
     would otherwise quadratically explode one task)."""
-    # persist the per-doc signature table (tracked; one skinny row per
-    # doc) BEFORE the band explode: bucket_pairs consumes its input
-    # twice (bucket-count aggregate + member table), and without this
-    # the whole shingle->minhash pipeline runs once per consumer.
-    banded = _persist(minhash_signatures(df, text_col, id_col, k))
-    band_cols = minhash_bands(F.col("sig"))
-    exploded = banded.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), c.alias("bucket"))
-                    for i, c in enumerate(band_cols)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    exploded = minhash_banded_rows(df, text_col, id_col, k)
     # bucket_pairs: grid-salted within-bucket pair join — hot buckets
     # split across bounded tasks instead of serializing on one core; it
     # persists the small annotated member table internally (tracked,
@@ -667,6 +677,90 @@ def connected_components(
         # without persist the re-evaluations compound 2^iterations
         labels = _persist(labels)
     return labels
+
+
+def crosscorpus_candidates(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """LSH candidates BETWEEN a new batch and a reference corpus (never
+    within either side) -> (doc_a = new id, doc_b = ref id).
+
+    This is the incremental-ingest shape: dedup today's crawl against
+    the 100 TB corpus without re-pairing the corpus with itself. Both
+    sides band identically; each side's bucket occupancy is capped at
+    ``max_bucket`` (per-side skew guard); then new x ref is a plain
+    equi-join on (band, bucket) — per-bucket pair work is bounded by
+    max_bucket² by construction, so no grid salting is needed. The NEW
+    side is broadcast: a daily increment is orders of magnitude smaller
+    than the corpus, and broadcasting it means the reference's banded
+    rows NEVER shuffle — the whole candidate stage is corpus-scan +
+    map-side join."""
+    new_banded = cap_bucket_size(
+        minhash_banded_rows(new_df, text_col, id_col, k),
+        ["band", "bucket"],
+        max_bucket,
+    )
+    ref_banded = cap_bucket_size(
+        minhash_banded_rows(ref_df, text_col, id_col, k),
+        ["band", "bucket"],
+        max_bucket,
+    )
+    new_side = new_banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_a")
+    )
+    ref_side = ref_banded.select(
+        "band", "bucket", F.col("doc_id").alias("doc_b")
+    )
+    return (
+        ref_side.join(F.broadcast(new_side), ["band", "bucket"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def incremental_neardup(
+    df: DataFrame,
+    new_pred,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Incremental near-dup gate: score every NEW document (rows where
+    ``new_pred`` holds) against the existing corpus (the rest) — the
+    admission check a training pipeline runs on each incoming batch.
+
+    Pipeline: cross-corpus LSH candidates (new side broadcast, corpus
+    never shuffles) -> exact n-gram Jaccard verification (pair work
+    bounded by the candidate set) -> per-new-doc aggregation.
+
+    Output: (doc_id, n_ref_dups, best_jaccard, is_dup) for EVERY new
+    document — docs with no verified match report 0 / 0.0 / false."""
+    new_df = df.filter(new_pred)
+    ref_df = df.filter(~new_pred)
+    cands = crosscorpus_candidates(
+        new_df, ref_df, text_col, id_col, k, max_bucket
+    )
+    verified = ngram_jaccard_pairs(
+        df, cands, text_col, id_col, k, threshold
+    )
+    per_new = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_ref_dups"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    ids = new_df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_new, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_ref_dups"), F.lit(0).cast("long")).alias("n_ref_dups"),
+        F.coalesce(F.col("best_jaccard"), F.lit(0.0)).alias("best_jaccard"),
+        (F.coalesce(F.col("n_ref_dups"), F.lit(0)) > 0).alias("is_dup"),
+    )
 
 
 def containment_pairs(

@@ -474,6 +474,218 @@ def kmeans_quantized_update(assigned: DataFrame) -> DataFrame:
     ).select(F.col("cluster").alias("label"), "centroid")
 
 
+def semdedup_prune(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    Data-efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space coarsely, then prune near-duplicate
+    members WITHIN each cluster — the pair work never crosses clusters,
+    so the quadratic verify is bounded by cluster occupancy instead of
+    corpus size.
+
+    Semantics (deterministic, oracle-checkable): centroids are the
+    quantized per-``label`` means (``ivf_centroids``); every vector is
+    re-assigned to its nearest centroid by cosine (ties -> smallest
+    label); within a cluster, a vector is PRUNED if some cluster-mate
+    with a smaller id has cosine >= ``threshold`` (keep-first-by-id, the
+    paper's keep-one-per-near-dup-group rule made order-deterministic).
+
+    Output: one row per cluster — (cluster, n_members, n_pruned,
+    kept_id_checksum) where kept_id_checksum = sum of surviving vec_ids.
+
+    Scale shape: centroid table is tiny -> broadcast assignment (corpus
+    never shuffles for it); the near-dup pair join is an equi-join on the
+    cluster id (one shuffle) with pair volume bounded per cluster — at
+    100 TB you'd subdivide hot clusters exactly like dedup.bucket_pairs
+    (same grid-salt pattern applies; cluster counts here are k-bounded).
+    """
+    from .cache import tracked_persist as _persist
+
+    assigned = kmeans_assign(df, ivf_centroids(df, label_col, vec_col), id_col, vec_col)
+    # consumed three times (both pair-join sides + the survivor flag
+    # join); persisted (tracked) so the centroid-build + assignment
+    # subtree runs once — at corpus scale this is the standard
+    # recompute-vs-spill call documented in SCALING.md.
+    members = _persist(
+        assigned.select(
+            F.col("vec_id"), F.col("cluster"), F.col("_vec").alias("embedding")
+        )
+    )
+    pairs = cosine_neardup_pairs(
+        members, threshold=threshold, id_col="vec_id", block_col="cluster"
+    )
+    pruned = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn(
+        "_pruned", F.lit(1)
+    )
+    flagged = members.join(pruned, "vec_id", "left")
+    return flagged.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.coalesce(F.col("_pruned"), F.lit(0))).alias("n_pruned"),
+        F.sum(F.when(F.col("_pruned").isNull(), F.col("vec_id"))).alias(
+            "kept_id_checksum"
+        ),
+    )
+
+
+# --- product quantization ----------------------------------------------------
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = DEFAULT_DIM // PQ_SUBSPACES
+_Q = 1e10  # dot-product quantization step (exact integer compare cross-engine)
+
+
+def _qdot(a: Column, b: Column) -> Column:
+    """Index-order dot product quantized to a BIGINT at 1e-10 — the
+    engine's standard trick for order-independent exact float compare."""
+    return F.floor(dot(a, b) * F.lit(_Q) + F.lit(0.5)).cast("bigint")
+
+
+def pq_codebooks(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Product-quantization codebooks: the vector is split into
+    ``PQ_SUBSPACES`` contiguous subvectors and each subspace gets its own
+    code set — here the quantized per-``label`` subvector means (the same
+    deterministic seeding ivf_centroids uses; production would Lloyd-
+    refine per subspace with the kmeans operators, identical shape).
+
+    Output: (sub, code, subcentroid array<double>) — k codes per
+    subspace. Tiny by construction (subspaces x labels rows) ->
+    broadcast everywhere downstream."""
+    exploded = df.select(
+        F.col(label_col).alias("code"),
+        F.posexplode(F.col(vec_col)).alias("dim_idx", "val"),
+    ).withColumn("sub", (F.col("dim_idx") / PQ_SUBDIM).cast("int"))
+    means = exploded.groupBy("sub", "code", "dim_idx").agg(
+        (
+            F.sum(
+                F.floor(F.col("val").cast("double") * F.lit(_Q) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).cast("double")
+            / F.lit(_Q)
+            / F.count(F.lit(1))
+        ).alias("mean_val")
+    )
+    return means.groupBy("sub", "code").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("subcentroid")
+    )
+
+
+def _subvectors(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """(id, sub, subvec): the vector cut into PQ_SUBSPACES contiguous
+    slices — pure per-row exprs, no shuffle."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"),
+                F.slice(F.col(vec_col), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("subvec"),
+            )
+            for m in range(PQ_SUBSPACES)
+        ]
+    )
+    return df.select(
+        F.col(id_col).alias(out_id), F.explode(slices).alias("s")
+    ).select(out_id, "s.sub", "s.subvec")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as PQ_SUBSPACES small code ids: per subspace,
+    the code maximizing the (quantized) inner product with the subvector
+    (ties -> smallest code). 64 floats become 4 bytes — the memory
+    compression that lets a 100 TB embedding corpus fit a cluster's RAM.
+
+    Corpus-side cost: a broadcast join against the tiny codebook and a
+    per-row argmax — the corpus never shuffles."""
+    sv = _subvectors(df, id_col, vec_col, "vec_id")
+    scored = sv.join(F.broadcast(codebooks), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        _qdot(F.col("subvec"), F.col("subcentroid")).alias("_qd"),
+    )
+    return top_k_per_key(
+        scored, ["vec_id", "sub"], F.struct(F.col("_qd"), -F.col("code")), 1
+    ).select("vec_id", "sub", "code")
+
+
+def pq_code_histogram(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Observable for the encode stage: how many vectors landed on each
+    (sub, code) cell + an id checksum — verifies codebook build + encode
+    end-to-end against the oracle."""
+    codes = pq_encode(df, pq_codebooks(df, label_col, vec_col), id_col, vec_col)
+    return codes.groupBy("sub", "code").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("id_checksum"),
+    )
+
+
+def ann_pq_adc(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """PQ asymmetric-distance ANN (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search"): corpus vectors are PQ codes; each
+    query precomputes a lookup table LUT[sub][code] = <q_sub,
+    codeword>, and a candidate's approximate inner product is just
+    PQ_SUBSPACES integer adds — no per-pair dim-wide math at all.
+
+    Exactness discipline: every subspace partial dot is quantized to a
+    BIGINT; the cross-subspace sum is an INTEGER sum (orderless-safe, so
+    groupBy partial aggregation cannot change the result); the reported
+    score divides back to double once. Ranking: approx dot desc, ties ->
+    neighbor_id desc (matching the engine's other ANN oracles).
+
+    Scale shape: codebooks and the Q x PQ_SUBSPACES x k LUT are tiny ->
+    both broadcast; the corpus contributes its code rows (N x
+    PQ_SUBSPACES skinny ints) through ONE broadcast join + one
+    integer-sum aggregate keyed (query, vec) and a final per-query
+    top-k. Approximation error comes from quantization only — measured
+    against ann_topk the same way ann_recall measures IVF."""
+    books = pq_codebooks(corpus, label_col, vec_col)
+    codes = pq_encode(corpus, books, corpus_id, vec_col)
+    q_sv = _subvectors(queries, query_id, vec_col, "query_id")
+    lut = q_sv.join(F.broadcast(books), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        _qdot(F.col("subvec"), F.col("subcentroid")).alias("_part"),
+    )
+    contrib = codes.join(F.broadcast(lut), ["sub", "code"]).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    scored = contrib.groupBy("query_id", F.col("vec_id").alias("neighbor_id")).agg(
+        (F.sum("_part").cast("double") / F.lit(_Q)).alias("approx_dot")
+    )
+    return top_k_per_key(
+        scored,
+        ["query_id"],
+        F.struct(F.col("approx_dot"), F.col("neighbor_id")),
+        k,
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     init_centroids: DataFrame,

@@ -69,23 +69,27 @@ def band_bucket(sig: str, band: int) -> str:
     return f"md5({cols})"
 
 
-def lsh_banded_cte(max_bucket: int = 64) -> str:
+def lsh_banded_cte(max_bucket: int = 64, suffix: str = "", where: str = "") -> str:
     """CTEs: documents -> per-doc signature -> (doc_id, band, bucket),
-    degenerate buckets dropped (same cap as the Spark operator)."""
+    degenerate buckets dropped (same cap as the Spark operator).
+    ``suffix`` renames every CTE (for two independent side chains);
+    ``where`` restricts the source rows (cross-corpus oracles)."""
+    s = suffix
     band_selects = "\n      UNION ALL\n      ".join(
-        f"SELECT doc_id, {b} AS band, {band_bucket('sig', b)} AS bucket FROM sigs"
+        f"SELECT doc_id, {b} AS band, {band_bucket('sig', b)} AS bucket FROM sigs{s}"
         for b in range(BANDS)
     )
+    wh = f" WHERE {where}" if where else ""
     return f"""
-    toks AS (SELECT doc_id, {tokens('text')} AS t FROM documents),
-    sh AS (SELECT doc_id, {shingles('t')} AS s FROM toks),
-    hs AS (SELECT doc_id, list_transform(s, x -> {hash32('x')}) AS hh FROM sh),
-    sigs AS (SELECT doc_id, {minhash_sig('hh')} AS sig FROM hs),
-    banded AS (
+    toks{s} AS (SELECT doc_id, {tokens('text')} AS t FROM documents{wh}),
+    sh{s} AS (SELECT doc_id, {shingles('t')} AS s FROM toks{s}),
+    hs{s} AS (SELECT doc_id, list_transform(s, x -> {hash32('x')}) AS hh FROM sh{s}),
+    sigs{s} AS (SELECT doc_id, {minhash_sig('hh')} AS sig FROM hs{s}),
+    banded{s} AS (
       {band_selects}
     ),
-    capped AS (
-      SELECT * FROM banded
+    capped{s} AS (
+      SELECT * FROM banded{s}
       QUALIFY COUNT(*) OVER (PARTITION BY band, bucket) <= {max_bucket}
     )"""
 
@@ -512,6 +516,201 @@ def dedup_clusters_sql(iterations: int = 3, max_bucket: int = 64) -> str:
     )""")
     body = ",\n    ".join(ctes)
     return f"WITH {body}\n    SELECT doc_id, cluster_id FROM l{iterations}"
+
+
+def incremental_neardup_sql(
+    new_where: str,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+) -> str:
+    """Cross-corpus incremental dedup: LSH candidates between the NEW
+    side (``new_where``) and the reference side (its complement), each
+    side banded+capped independently (mirroring crosscorpus_candidates),
+    exact-Jaccard verified, aggregated per new doc."""
+    return f"""
+    WITH {lsh_banded_cte(max_bucket, suffix='_n', where=new_where)},
+    {lsh_banded_cte(max_bucket, suffix='_r', where=f'NOT ({new_where})')},
+    cand AS (
+      SELECT DISTINCT n.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM capped_n n JOIN capped_r r USING (band, bucket)
+    ),
+    sets AS (SELECT doc_id, list_distinct({shingles(tokens('text'))}) AS ds
+             FROM documents),
+    ver AS (
+      SELECT doc_a,
+             len(list_intersect(x.ds, y.ds))
+               / greatest(len(list_distinct(list_concat(x.ds, y.ds))), 1) AS jaccard
+      FROM cand JOIN sets x ON cand.doc_a = x.doc_id
+                JOIN sets y ON cand.doc_b = y.doc_id
+      WHERE len(list_intersect(x.ds, y.ds))
+              / greatest(len(list_distinct(list_concat(x.ds, y.ds))), 1)
+            >= {threshold}
+    ),
+    agg AS (
+      SELECT doc_a AS doc_id, COUNT(*) AS n_ref_dups, MAX(jaccard) AS best_jaccard
+      FROM ver GROUP BY doc_a
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_ref_dups, 0) AS BIGINT) AS n_ref_dups,
+           COALESCE(a.best_jaccard, 0.0) AS best_jaccard,
+           COALESCE(a.n_ref_dups, 0) > 0 AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE {new_where}) d
+    LEFT JOIN agg a USING (doc_id)
+    """
+
+
+def semdedup_assigned_cte() -> str:
+    """CTEs assigning every embedding to its nearest quantized-label-mean
+    centroid by cosine (ties -> smallest label) — kmeans_assign over
+    ivf_centroids, verbatim."""
+    return f"""
+    means AS ({ivf_centroids_sql()}),
+    cent AS (
+      SELECT label, list(mean_val ORDER BY dim_idx) AS centroid
+      FROM means GROUP BY label
+    ),
+    centn AS (SELECT label, centroid, {norm_sql('centroid')} AS c_nrm FROM cent),
+    assigned AS (
+      SELECT vec_id, embedding, cluster FROM (
+        SELECT e.vec_id, e.embedding, c.label AS cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {dot_sql('e.embedding', 'c.centroid')}
+                          / ({norm_sql('e.embedding')} * c.c_nrm) DESC,
+                          c.label ASC) AS rn
+        FROM embeddings e, centn c
+      ) WHERE rn = 1
+    )"""
+
+
+def semdedup_prune_sql(threshold: float = 0.9) -> str:
+    """SemDeDup: within-cluster cosine near-dup prune (keep the smallest
+    id of each near-dup pair), per-cluster survivor stats."""
+    return f"""
+    WITH {semdedup_assigned_cte()},
+    normed AS (
+      SELECT vec_id, cluster, embedding, {norm_sql('embedding')} AS nrm
+      FROM assigned
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM normed a JOIN normed b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {threshold}
+    ),
+    pruned AS (SELECT DISTINCT ib AS vec_id FROM pairs)
+    SELECT n.cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned,
+           CAST(SUM(CASE WHEN p.vec_id IS NULL THEN n.vec_id END) AS BIGINT)
+             AS kept_id_checksum
+    FROM normed n LEFT JOIN pruned p USING (vec_id)
+    GROUP BY n.cluster
+    """
+
+
+def pq_cte(dim: int = 64, subspaces: int = 4) -> str:
+    """CTEs for the PQ pipeline: per-(sub, code) quantized-mean codebooks
+    (codes = labels), corpus subvectors, encoded codes (argmax quantized
+    inner product, ties -> smallest code) — mirroring pq_codebooks /
+    pq_encode exactly."""
+    subdim = dim // subspaces
+    subs = ",".join(str(m) for m in range(subspaces))
+    return f"""
+    pqmeans AS (
+      SELECT CAST(floor((i - 1) / {subdim}) AS INTEGER) AS sub,
+             label AS code, i - 1 AS dim_idx,
+             CAST(SUM(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e10 + 0.5)
+                           AS BIGINT)) AS DOUBLE) / 1e10 / COUNT(*) AS mean_val
+      FROM embeddings CROSS JOIN UNNEST(range(1, {dim + 1})) AS t(i)
+      GROUP BY sub, label, i
+    ),
+    books AS (
+      SELECT sub, code, list(mean_val ORDER BY dim_idx) AS subcentroid
+      FROM pqmeans GROUP BY sub, code
+    ),
+    sv AS (
+      SELECT vec_id, m AS sub,
+             embedding[m * {subdim} + 1 : (m + 1) * {subdim}] AS subvec
+      FROM embeddings CROSS JOIN UNNEST([{subs}]) AS t(m)
+    ),
+    enc_scored AS (
+      SELECT vec_id, sub, code,
+             CAST(floor({dot_sql('subvec', 'subcentroid')} * 1e10 + 0.5) AS BIGINT)
+               AS qd
+      FROM sv JOIN books USING (sub)
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, sub ORDER BY qd DESC, code ASC) AS rn
+        FROM enc_scored
+      ) WHERE rn = 1
+    )"""
+
+
+def pq_code_histogram_sql() -> str:
+    return f"""
+    WITH {pq_cte()}
+    SELECT sub, code, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+    FROM codes GROUP BY sub, code
+    """
+
+
+def ann_pq_adc_sql(k: int = 5, n_queries: int = 20) -> str:
+    return f"""
+    WITH {pq_cte()},
+    lut AS (
+      SELECT vec_id AS query_id, s.sub, b.code,
+             CAST(floor({dot_sql('s.subvec', 'b.subcentroid')} * 1e10 + 0.5)
+                  AS BIGINT) AS part
+      FROM sv s JOIN books b USING (sub)
+      WHERE s.vec_id < {n_queries}
+    ),
+    contrib AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, l.part
+      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      WHERE l.query_id <> c.vec_id
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(part) AS DOUBLE) / 1e10 AS approx_dot
+      FROM contrib GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_dot FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id DESC) AS rn
+      FROM adc
+    ) WHERE rn <= {k}
+    """
+
+
+def vocab_coverage_sql(checkpoints=(100, 1000, 5000, 10000), n: int = 3) -> str:
+    """Trigram-vocabulary coverage curve: what fraction of the corpus's
+    n-gram stream is covered by the top-N vocabulary — the tokenizer-
+    design measurement (rank by count desc, gram asc)."""
+    cps = ",".join(str(c) for c in checkpoints)
+    toks = tokens("text")
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS t FROM documents),
+    tg AS (SELECT unnest({shingles('t', n)}) AS g FROM t),
+    counts AS (SELECT g, COUNT(*) AS cnt FROM tg GROUP BY g),
+    ranked AS (
+      SELECT g, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, g ASC) AS rnk
+      FROM counts
+    ),
+    total AS (SELECT SUM(cnt) AS tot FROM counts)
+    SELECT v.vocab_size,
+           CAST(SUM(r.cnt) AS BIGINT) AS covered_tokens,
+           CAST(MIN(t.tot) AS BIGINT) AS total_tokens,
+           CAST(SUM(r.cnt) AS DOUBLE) / CAST(MIN(t.tot) AS DOUBLE) AS coverage
+    FROM UNNEST([{cps}]) AS v(vocab_size)
+    JOIN ranked r ON r.rnk <= v.vocab_size
+    CROSS JOIN total t
+    GROUP BY v.vocab_size
+    """
 
 
 def containment_pairs_sql(threshold: float = 0.5, max_bucket: int = 64) -> str:

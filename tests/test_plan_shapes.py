@@ -337,3 +337,44 @@ def test_shard_assignment_single_shuffle_partial_agg(spark, sf001):
     # one exchange for the groupBy(shard); nothing else shuffles
     assert plan.count("Exchange") <= 2  # agg exchange (+ AQE read)
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_neardup_new_side_broadcast(spark, sf001):
+    """Cross-corpus candidate generation must broadcast the NEW side so
+    the reference corpus's banded rows never shuffle for it, and nothing
+    degenerates to a cartesian product."""
+    plan = plan_of(entry.q_incremental_neardup(spark, sf001), mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_assignment_broadcasts_centroids(spark, sf001):
+    """SemDeDup: the centroid table is tiny and must be the broadcast
+    build side of the assignment cross join (BroadcastNestedLoopJoin —
+    there is no equi key against 10 centroid rows); the within-cluster
+    pair join is a shuffled equi-join on the cluster key; nothing plans
+    as an unbroadcast cartesian product."""
+    plan = plan_of(entry.q_semdedup_prune(spark, sf001), mode="simple")
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # assigned members persist once
+
+
+def test_pq_adc_codebook_and_lut_broadcast(spark, sf001):
+    """PQ ADC: codebooks and the query LUT are tiny and broadcast; the
+    corpus contributes its code rows through broadcast joins + one
+    integer-sum aggregate — no corpus-side cartesian anywhere."""
+    plan = plan_of(entry.q_ann_pq_adc(spark, sf001), mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2  # encode join + ADC LUT join
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final integer sum
+
+
+def test_vocab_coverage_vocab_keyed_aggregation(spark, sf001):
+    """Vocab coverage: the n-gram stream collapses into a vocabulary-
+    keyed partial aggregate before any window/join; the checkpoint table
+    (4 rows) is the broadcast side of the non-equi rank join."""
+    plan = plan_of(entry.q_vocab_coverage(spark, sf001), mode="simple")
+    assert plan.count("HashAggregate") >= 2  # partial + final gram counts
+    assert "CartesianProduct" not in plan
