@@ -335,6 +335,16 @@ def q_ann_pq_adc(spark, sf_dir):
     return S.ann_pq_adc(queries, emb, k=5)
 
 
+def q_ann_pq_rerank(spark, sf_dir):
+    """Two-stage retrieval: PQ ADC shortlists 20 candidates per query
+    (integer-table lookups, no per-pair dim-wide math), then ONLY those
+    pairs get the exact full-dimension cosine and the top-5 ranks on the
+    exact score — the production coarse-then-rerank ANN shape."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return S.ann_pq_rerank(queries, emb, k=5, shortlist=20)
+
+
 _VOCAB_CHECKPOINTS = (100, 1000, 5000, 10000)
 
 
@@ -350,11 +360,17 @@ def q_vocab_coverage(spark, sf_dir):
     corpus — for web-scale vocabularies switch to a range-partitioned
     two-pass rank, same downstream shape); checkpoints and the scalar
     total are broadcast."""
+    from hri_flink_pipeline_core_spark.operators.cache import tracked_persist
+
     docs = _tp(spark, sf_dir, "documents")
     grams = docs.select(
         F.explode(TX.shingles(F.col("text"), 3)).alias("g")
     )
-    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    # counts feeds BOTH the ranking and the scalar total; persist the
+    # (vocabulary-sized, tiny) aggregate so the corpus explode runs once.
+    counts = tracked_persist(
+        grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     from pyspark.sql import Window as SW
 
     ranked = counts.withColumn(
@@ -2249,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": q_semdedup_prune,
         "pq_code_histogram": q_pq_code_histogram,
         "ann_pq_adc": q_ann_pq_adc,
+        "ann_pq_rerank": q_ann_pq_rerank,
         "vocab_coverage": q_vocab_coverage,
         # -- (2) new in round 3 + implementations touched in round 3
         #    (span shared-scan rewrite, window-df BM25/TF-IDF, hybrid
@@ -2885,6 +2902,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_prune": O.semdedup_prune_sql(threshold=0.9),
         "pq_code_histogram": O.pq_code_histogram_sql(),
         "ann_pq_adc": O.ann_pq_adc_sql(k=5, n_queries=20),
+        "ann_pq_rerank": O.ann_pq_rerank_sql(k=5, shortlist=20, n_queries=20),
         "vocab_coverage": O.vocab_coverage_sql(_VOCAB_CHECKPOINTS),
         "centroid_distances": f"""
             WITH means AS ({O.ivf_centroids_sql()}),

@@ -686,6 +686,59 @@ def ann_pq_adc(
     )
 
 
+def ann_pq_rerank(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Two-stage retrieval — the production ANN shape: a cheap PQ ADC
+    pass shortlists ``shortlist`` candidates per query, then ONLY those
+    pairs get the exact full-dimension cosine and the final top-``k`` is
+    ranked on the exact score. Exact math runs on Q x shortlist pairs
+    instead of Q x N — the quantization error of the first stage can
+    only cost recall (a true neighbor missing from the shortlist), never
+    precision of the reported scores.
+
+    Scale shape: the shortlist is Q x shortlist skinny rows -> broadcast
+    against the corpus (one scan, no corpus shuffle) and against the
+    query vectors; the rerank math inherits the engine's exact fold
+    (bit-identical cross-engine)."""
+    short = ann_pq_adc(
+        queries, corpus, k=shortlist,
+        query_id=query_id, corpus_id=corpus_id,
+        vec_col=vec_col, label_col=label_col,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    pairs = c.join(F.broadcast(short), "neighbor_id").join(
+        F.broadcast(q), "query_id"
+    )
+    exact = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+    )
+    return top_k_per_key(
+        exact, ["query_id"], F.struct(F.col("cosine"), F.col("neighbor_id")), k
+    )
+
+
 def kmeans_lloyd(
     df: DataFrame,
     init_centroids: DataFrame,

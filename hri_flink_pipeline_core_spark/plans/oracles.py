@@ -687,6 +687,53 @@ def ann_pq_adc_sql(k: int = 5, n_queries: int = 20) -> str:
     """
 
 
+def ann_pq_rerank_sql(k: int = 5, shortlist: int = 20, n_queries: int = 20) -> str:
+    """Two-stage retrieval: PQ ADC shortlist (ties -> neighbor_id desc,
+    mirroring ann_pq_adc), exact-cosine rerank of only those pairs."""
+    return f"""
+    WITH {pq_cte()},
+    lut AS (
+      SELECT vec_id AS query_id, s.sub, b.code,
+             CAST(floor({dot_sql('s.subvec', 'b.subcentroid')} * 1e10 + 0.5)
+                  AS BIGINT) AS part
+      FROM sv s JOIN books b USING (sub)
+      WHERE s.vec_id < {n_queries}
+    ),
+    contrib AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, l.part
+      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      WHERE l.query_id <> c.vec_id
+    ),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             CAST(SUM(part) AS DOUBLE) / 1e10 AS approx_dot
+      FROM contrib GROUP BY query_id, neighbor_id
+    ),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id DESC) AS rn
+        FROM adc
+      ) WHERE rn <= {shortlist}
+    ),
+    normed AS (
+      SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm FROM embeddings
+    ),
+    exact AS (
+      SELECT s.query_id, s.neighbor_id,
+             {dot_sql('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+      FROM short s
+      JOIN normed q ON q.vec_id = s.query_id
+      JOIN normed c ON c.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id DESC) AS rn
+      FROM exact
+    ) WHERE rn <= {k}
+    """
+
+
 def vocab_coverage_sql(checkpoints=(100, 1000, 5000, 10000), n: int = 3) -> str:
     """Trigram-vocabulary coverage curve: what fraction of the corpus's
     n-gram stream is covered by the top-N vocabulary — the tokenizer-
