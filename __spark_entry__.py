@@ -247,6 +247,18 @@ def q_dedup_clusters(spark, sf_dir):
     return D.connected_components(pairs)
 
 
+def q_dedup_clusters_star(spark, sf_dir):
+    """Duplicate-cluster assignment via the PRODUCTION connected-
+    components algorithm: alternating large-star/small-star with a
+    driver-side convergence check (rounds are data-dependent, O(log² n)
+    on any graph — extreme-diameter duplicate chains cannot silently
+    under-merge the way a fixed iteration count can). Output is
+    identical to converged min-label propagation, which is what the
+    oracle runs (16 iterations ≫ any component diameter at sf0.01)."""
+    pairs = D.minhash_lsh_candidates(_tp(spark, sf_dir, "documents"))
+    return D.connected_components_star(pairs)
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """Canonical selection — the step real pipelines run AFTER cluster
     assignment: per duplicate cluster keep the HIGHEST-QUALITY member
@@ -2267,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": q_ann_pq_adc,
         "ann_pq_rerank": q_ann_pq_rerank,
         "vocab_coverage": q_vocab_coverage,
+        "dedup_clusters_star": q_dedup_clusters_star,
         # -- (2) new in round 3 + implementations touched in round 3
         #    (span shared-scan rewrite, window-df BM25/TF-IDF, hybrid
         #    bucket_pairs consumers, quality-SQL refactor, BLAS guard) --
@@ -2904,6 +2917,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": O.ann_pq_adc_sql(k=5, n_queries=20),
         "ann_pq_rerank": O.ann_pq_rerank_sql(k=5, shortlist=20, n_queries=20),
         "vocab_coverage": O.vocab_coverage_sql(_VOCAB_CHECKPOINTS),
+        "dedup_clusters_star": O.dedup_clusters_sql(
+            iterations=16, materialized=True
+        ),
         "centroid_distances": f"""
             WITH means AS ({O.ivf_centroids_sql()}),
             cent AS (

@@ -679,6 +679,127 @@ def connected_components(
     return labels
 
 
+def _cc_normalize(edges: DataFrame) -> DataFrame:
+    """Undirected edge set in canonical form: (a < b), loops dropped,
+    distinct."""
+    return (
+        edges.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+
+
+def _cc_neighbors(und: DataFrame) -> DataFrame:
+    """(v, u) adjacency rows — both directions of the canonical set."""
+    return und.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        und.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+
+
+def _cc_large_star(und: DataFrame) -> DataFrame:
+    """Large-Star (Kiveris et al., "Connected Components in MapReduce
+    and Beyond"): every node attaches its LARGER neighbors to the
+    minimum of its neighborhood (incl. itself) — one partial-agg min +
+    one join, both keyed on the node."""
+    nbr = _cc_neighbors(und)
+    m = nbr.groupBy("v").agg(F.min("u").alias("_mn"))
+    m = m.select("v", F.least(F.col("_mn"), F.col("v")).alias("m"))
+    out = (
+        nbr.join(m, "v")
+        .filter(F.col("u") > F.col("v"))
+        .select(F.col("u").alias("x"), F.col("m").alias("y"))
+    )
+    return _cc_normalize(out)
+
+
+def _cc_small_star(und: DataFrame) -> DataFrame:
+    """Small-Star: every node rewires its SMALLER neighbors (and itself)
+    to the minimum among them. Each edge is processed from its larger
+    endpoint, so the union covers the whole edge set."""
+    nbr = _cc_neighbors(und)
+    small = nbr.filter(F.col("u") < F.col("v"))
+    m = small.groupBy("v").agg(F.min("u").alias("_mn"))
+    out = (
+        small.join(m, "v")
+        .select(F.col("u").alias("x"), F.col("_mn").alias("y"))
+        .unionByName(
+            m.select(F.col("v").alias("x"), F.col("_mn").alias("y"))
+        )
+    )
+    return _cc_normalize(out)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via the alternating large-star/small-star
+    algorithm (Kiveris et al., MapReduce & Beyond) — the PRODUCTION
+    counterpart of ``connected_components``: rounds are data-dependent
+    (converges in O(log² n) rounds on any graph, vs label propagation's
+    O(diameter)), so extreme-diameter duplicate chains cannot silently
+    under-merge. Output is identical on converged inputs:
+    (doc_id, cluster_id = minimum member of the component).
+
+    Execution shape per round: two star operations, each ONE partial-agg
+    min + ONE join keyed on the node id — same shuffle primitives as
+    label propagation, never touching the corpus (the edge set is
+    near-dup pairs). Convergence is checked driver-side per round
+    (count + set-difference on the canonical edge set — an action per
+    round, the honest cost of data-dependent iteration).
+
+    Each round's edge set is ``localCheckpoint``-ed, not merely
+    persisted: every star op consumes its input three times, so without
+    lineage TRUNCATION the logical plan grows ~3x per round and analysis
+    cost explodes after a handful of rounds (persist caches execution
+    but Catalyst still walks the full tree). The edge set is tiny
+    (near-dup pairs), so materialization is free; production clusters
+    wanting executor-loss resilience would swap in reliable
+    ``checkpoint`` with a checkpoint dir — same plan shape."""
+    cur = _cc_normalize(
+        pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
+    ).localCheckpoint()
+    n_cur = cur.count()
+    for _ in range(max_rounds):
+        nxt = _cc_small_star(_cc_large_star(cur)).localCheckpoint()
+        n_nxt = nxt.count()
+        if n_nxt == n_cur and nxt.exceptAll(cur).isEmpty():
+            cur, n_cur = nxt, n_nxt
+            break
+        cur, n_cur = nxt, n_nxt
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # converged star graphs: leaves point at the root (= component min),
+    # the root's own min-neighbor is a leaf larger than it -> least()
+    # restores the root's self-label. Nodes whose only edges were
+    # self-loops vanish in normalization — re-seed them from the input
+    # node set with a self label (parity with connected_components).
+    star_labels = (
+        _cc_neighbors(cur)
+        .groupBy("v")
+        .agg(F.min("u").alias("_mn"))
+        .select(
+            F.col("v").alias("doc_id"),
+            F.least(F.col("_mn"), F.col("v")).alias("cluster_id"),
+        )
+    )
+    nodes = (
+        pairs.select(F.col(a_col).alias("doc_id"))
+        .unionByName(pairs.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    return nodes.join(star_labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+
+
 def crosscorpus_candidates(
     new_df: DataFrame,
     ref_df: DataFrame,

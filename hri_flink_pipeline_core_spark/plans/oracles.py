@@ -487,9 +487,18 @@ def kmeans_refine_sql(iters: int = 2, dim: int = 64) -> str:
     """
 
 
-def dedup_clusters_sql(iterations: int = 3, max_bucket: int = 64) -> str:
+def dedup_clusters_sql(
+    iterations: int = 3, max_bucket: int = 64, materialized: bool = False
+) -> str:
     """LSH candidate pairs -> fixed-iteration min-label propagation,
-    matching operators.dedup.connected_components exactly."""
+    matching operators.dedup.connected_components exactly.
+
+    ``materialized`` forces AS MATERIALIZED on the edge/label CTEs:
+    each iteration references l{i} twice, so DuckDB's inlining expands
+    the chain 2^iterations-fold — fine at 3 iterations, fatal (fd
+    exhaustion from thousands of parquet scan instances) at the 16
+    iterations the converged dedup_clusters_star oracle uses."""
+    mat = " MATERIALIZED" if materialized else ""
     ctes = [
         lsh_banded_cte(max_bucket),
         """cand AS (
@@ -497,15 +506,15 @@ def dedup_clusters_sql(iterations: int = 3, max_bucket: int = 64) -> str:
       FROM capped a JOIN capped b USING (band, bucket)
       WHERE a.doc_id < b.doc_id
     )""",
-        """edges AS (
+        f"""edges AS{mat} (
       SELECT doc_a AS src, doc_b AS dst FROM cand
       UNION
       SELECT doc_b AS src, doc_a AS dst FROM cand
     )""",
-        "l0 AS (SELECT DISTINCT src AS doc_id, src AS cluster_id FROM edges)",
+        f"l0 AS{mat} (SELECT DISTINCT src AS doc_id, src AS cluster_id FROM edges)",
     ]
     for i in range(iterations):
-        ctes.append(f"""l{i + 1} AS (
+        ctes.append(f"""l{i + 1} AS{mat} (
       SELECT l.doc_id,
              least(l.cluster_id,
                    coalesce(min(r.cluster_id), l.cluster_id)) AS cluster_id

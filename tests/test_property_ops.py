@@ -19,7 +19,10 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from hri_flink_pipeline_core_spark.operators.asof import asof_join
-from hri_flink_pipeline_core_spark.operators.dedup import connected_components
+from hri_flink_pipeline_core_spark.operators.dedup import (
+    connected_components,
+    connected_components_star,
+)
 
 _SETTINGS = dict(
     max_examples=12,
@@ -113,6 +116,24 @@ def test_connected_components_matches_union_find(spark, pairs):
     got = {
         (r.doc_id, r.cluster_id)
         for r in connected_components(pdf, iterations=7).collect()
+    }
+    expected = {
+        (n, root) for n, root in _union_find_components(pairs).items()
+    }
+    assert got == expected
+
+
+@given(pairs=pairs_strategy)
+@settings(**{**_SETTINGS, "max_examples": 6})
+def test_connected_components_star_matches_union_find(spark, pairs):
+    """The data-dependent-rounds production CC (alternating large-star/
+    small-star) must produce the identical min-of-component labeling."""
+    pdf = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in pairs], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(pdf).collect()
     }
     expected = {
         (n, root) for n, root in _union_find_components(pairs).items()
