@@ -706,6 +706,134 @@ def q_kmv_distinct(spark, sf_dir):
     )
 
 
+_KMV_PAIRS = (("en", "de"), ("en", "zh"), ("de", "fr"))
+
+
+def q_kmv_set_ops(spark, sf_dir):
+    """KMV sketch ALGEBRA — the mergeability that makes sketches a
+    distributed primitive: per-language trigram-vocabulary sketches are
+    combined to estimate |A ∪ B| (k smallest of the merged hash sets)
+    and |A ∩ B| (inclusion ratio within the union sketch × union
+    estimate), with the exact values alongside. Deterministic md5
+    hashing -> identical sketches on any engine, any partitioning —
+    exactly why KMV beats HLL for cross-engine reproducibility.
+
+    Scale shape: vocab-keyed distinct + per-language top-k window build
+    the sketches (k rows per language thereafter); all pair math runs on
+    k-sized sketches — constant work per pair regardless of corpus
+    size. The exact legs are vocabulary-keyed aggregates (testable
+    ground truth; production would drop them)."""
+    from pyspark.sql import Window as SW
+
+    docs = _tp(spark, sf_dir, "documents")
+    grams = docs.select(
+        "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("g")
+    ).distinct()
+    gh = grams.select("lang", TX.hash60(F.col("g")).alias("h")).distinct()
+    w = SW.partitionBy("lang").orderBy("h")
+    sk = (
+        gh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("lang", "h")
+    )
+    pairs = spark.createDataFrame(list(_KMV_PAIRS), "lang_a string, lang_b string")
+    side_a = pairs.join(sk, sk["lang"] == pairs["lang_a"]).select(
+        "lang_a", "lang_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    side_b = pairs.join(sk, sk["lang"] == pairs["lang_b"]).select(
+        "lang_a", "lang_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("lang_a", "lang_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = SW.partitionBy("lang_a", "lang_b").orderBy("h")
+    u = merged.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    est = u.groupBy("lang_a", "lang_b").agg(
+        F.max("h").alias("kth"),
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+    )
+    est_union = F.when(F.col("m") < _KMV_K, F.col("m").cast("double")).otherwise(
+        F.lit(float(_KMV_K - 1) * 2.0**60) / F.col("kth").cast("double")
+    )
+    # exact ground truth from the same gram table
+    eg_a = pairs.join(grams, grams["lang"] == pairs["lang_a"]).select(
+        "lang_a", "lang_b", "g", F.lit(1).alias("a"), F.lit(0).alias("b")
+    )
+    eg_b = pairs.join(grams, grams["lang"] == pairs["lang_b"]).select(
+        "lang_a", "lang_b", "g", F.lit(0).alias("a"), F.lit(1).alias("b")
+    )
+    eg = (
+        eg_a.unionByName(eg_b)
+        .groupBy("lang_a", "lang_b", "g")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+    )
+    exact = eg.groupBy("lang_a", "lang_b").agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("a") * F.col("b")).alias("exact_intersect"),
+    )
+    withest = est.select(
+        "lang_a",
+        "lang_b",
+        est_union.alias("est_union"),
+        (
+            (F.col("n_common").cast("double") / F.col("m").cast("double"))
+            * est_union
+        ).alias("est_intersect"),
+    )
+    return withest.join(F.broadcast(exact), ["lang_a", "lang_b"])
+
+
+def q_skew_profile(spark, sf_dir):
+    """Join-key skew diagnostic — the measurement that decides between a
+    plain shuffle join, AQE skew splitting, and explicit salting: the
+    per-key row-count distribution of a prospective join key
+    (lineitem.l_partkey) summarized as exact rank-based percentiles,
+    hot-key census (integer-exact cnt·n_keys > 2·total, no float
+    thresholds), and the derived salt factor ceil(max/1000) the salted-
+    join operators would take as G.
+
+    Scale shape: ONE partial-agg shuffle builds the per-key counts
+    (key-sized table); every statistic after that runs on keys, not
+    rows — the ranking window is key-cardinality-sized."""
+    from pyspark.sql import Window as SW
+
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_per_key"),
+    )
+    ranked = counts.withColumn(
+        "rn",
+        F.row_number().over(SW.orderBy(F.col("cnt").asc(), F.col("l_partkey").asc())),
+    )
+    j = ranked.crossJoin(F.broadcast(stats))
+    p50_rn = F.floor((F.col("n_keys") - 1) * F.lit(0.5)) + 1
+    p99_rn = F.floor((F.col("n_keys") - 1) * F.lit(0.99)) + 1
+    hot = F.col("cnt") * F.col("n_keys") > F.lit(2) * F.col("total_rows")
+    return j.groupBy("n_keys", "total_rows", "max_per_key").agg(
+        F.max(F.when(F.col("rn") == p50_rn, F.col("cnt"))).alias("p50_per_key"),
+        F.max(F.when(F.col("rn") == p99_rn, F.col("cnt"))).alias("p99_per_key"),
+        F.sum(F.when(hot, 1).otherwise(0)).alias("hot_keys"),
+    ).select(
+        "n_keys",
+        "total_rows",
+        "max_per_key",
+        "p50_per_key",
+        "p99_per_key",
+        "hot_keys",
+        (F.floor((F.col("max_per_key") + 999) / 1000)).cast("bigint").alias(
+            "recommended_salt"
+        ),
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic content-addressed sampling: md5-bucket of the id,
     keep 10%. Unlike rand()-based sampling this is reproducible across
@@ -2280,6 +2408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank": q_ann_pq_rerank,
         "vocab_coverage": q_vocab_coverage,
         "dedup_clusters_star": q_dedup_clusters_star,
+        "kmv_set_ops": q_kmv_set_ops,
+        "skew_profile": q_skew_profile,
         # -- (2) new in round 3 + implementations touched in round 3
         #    (span shared-scan rewrite, window-df BM25/TF-IDF, hybrid
         #    bucket_pairs consumers, quality-SQL refactor, BLAS guard) --
@@ -2920,6 +3050,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_star": O.dedup_clusters_sql(
             iterations=16, materialized=True
         ),
+        "kmv_set_ops": O.kmv_set_ops_sql(_KMV_PAIRS, k=_KMV_K),
+        "skew_profile": O.skew_profile_sql(),
         "centroid_distances": f"""
             WITH means AS ({O.ivf_centroids_sql()}),
             cent AS (

@@ -807,9 +807,12 @@ def crosscorpus_candidates(
     id_col: str = "doc_id",
     k: int = 5,
     max_bucket: int = 64,
+    ref_banded: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates BETWEEN a new batch and a reference corpus (never
     within either side) -> (doc_a = new id, doc_b = ref id).
+    ``ref_banded`` lets long-lived callers reuse a precomputed/cached
+    reference band table across many incoming batches.
 
     This is the incremental-ingest shape: dedup today's crawl against
     the 100 TB corpus without re-pairing the corpus with itself. Both
@@ -826,11 +829,8 @@ def crosscorpus_candidates(
         ["band", "bucket"],
         max_bucket,
     )
-    ref_banded = cap_bucket_size(
-        minhash_banded_rows(ref_df, text_col, id_col, k),
-        ["band", "bucket"],
-        max_bucket,
-    )
+    if ref_banded is None:
+        ref_banded = ref_banded_rows(ref_df, text_col, id_col, k, max_bucket)
     new_side = new_banded.select(
         "band", "bucket", F.col("doc_id").alias("doc_a")
     )
@@ -841,6 +841,62 @@ def crosscorpus_candidates(
         ref_side.join(F.broadcast(new_side), ["band", "bucket"])
         .select("doc_a", "doc_b")
         .distinct()
+    )
+
+
+def ref_banded_rows(
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """The reference corpus's capped LSH band rows — the precomputable
+    (and cacheable) static half of the cross-corpus gate. A long-lived
+    ingest service builds this ONCE per corpus snapshot and checks every
+    incoming batch against it (see streaming.ops.StreamingAdmissionGate)."""
+    return cap_bucket_size(
+        minhash_banded_rows(ref_df, text_col, id_col, k),
+        ["band", "bucket"],
+        max_bucket,
+    )
+
+
+def crosscorpus_verdicts(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.5,
+    max_bucket: int = 64,
+    ref_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Per-new-doc admission verdicts against a reference corpus:
+    cross-corpus LSH candidates (new side broadcast) -> exact n-gram
+    Jaccard verification -> (doc_id, n_ref_dups, best_jaccard, is_dup)
+    for EVERY new document (no match -> 0 / 0.0 / false).
+    ``ref_banded`` lets callers reuse a precomputed/cached reference
+    band table across many batches."""
+    cands = crosscorpus_candidates(
+        new_df, ref_df, text_col, id_col, k, max_bucket, ref_banded
+    )
+    corpus = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        ref_df.select(F.col(id_col), F.col(text_col))
+    )
+    verified = ngram_jaccard_pairs(
+        corpus, cands, text_col, id_col, k, threshold
+    )
+    per_new = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_ref_dups"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    ids = new_df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(per_new, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_ref_dups"), F.lit(0).cast("long")).alias("n_ref_dups"),
+        F.coalesce(F.col("best_jaccard"), F.lit(0.0)).alias("best_jaccard"),
+        (F.coalesce(F.col("n_ref_dups"), F.lit(0)) > 0).alias("is_dup"),
     )
 
 
@@ -863,24 +919,14 @@ def incremental_neardup(
 
     Output: (doc_id, n_ref_dups, best_jaccard, is_dup) for EVERY new
     document — docs with no verified match report 0 / 0.0 / false."""
-    new_df = df.filter(new_pred)
-    ref_df = df.filter(~new_pred)
-    cands = crosscorpus_candidates(
-        new_df, ref_df, text_col, id_col, k, max_bucket
-    )
-    verified = ngram_jaccard_pairs(
-        df, cands, text_col, id_col, k, threshold
-    )
-    per_new = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("n_ref_dups"),
-        F.max("jaccard").alias("best_jaccard"),
-    )
-    ids = new_df.select(F.col(id_col).alias("doc_id"))
-    return ids.join(per_new, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("n_ref_dups"), F.lit(0).cast("long")).alias("n_ref_dups"),
-        F.coalesce(F.col("best_jaccard"), F.lit(0.0)).alias("best_jaccard"),
-        (F.coalesce(F.col("n_ref_dups"), F.lit(0)) > 0).alias("is_dup"),
+    return crosscorpus_verdicts(
+        df.filter(new_pred),
+        df.filter(~new_pred),
+        text_col,
+        id_col,
+        k,
+        threshold,
+        max_bucket,
     )
 
 

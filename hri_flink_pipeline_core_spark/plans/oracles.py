@@ -743,6 +743,104 @@ def ann_pq_rerank_sql(k: int = 5, shortlist: int = 20, n_queries: int = 20) -> s
     """
 
 
+def skew_profile_sql(target: int = 1000) -> str:
+    """Join-key skew diagnostic over lineitem.l_partkey — exact
+    rank-based percentiles, integer-exact hot-key census, derived salt
+    factor; mirrors q_skew_profile."""
+    return f"""
+    WITH counts AS (
+      SELECT l_partkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_per_key
+      FROM counts
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt ASC, l_partkey ASC) AS rn
+      FROM counts
+    )
+    SELECT s.n_keys, s.total_rows, s.max_per_key,
+           CAST(MAX(CASE WHEN r.rn = floor((s.n_keys - 1) * 0.5) + 1
+                         THEN r.cnt END) AS BIGINT) AS p50_per_key,
+           CAST(MAX(CASE WHEN r.rn = floor((s.n_keys - 1) * 0.99) + 1
+                         THEN r.cnt END) AS BIGINT) AS p99_per_key,
+           CAST(SUM(CASE WHEN r.cnt * s.n_keys > 2 * s.total_rows
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hot_keys,
+           CAST(floor((s.max_per_key + {target} - 1) / {target}) AS BIGINT)
+             AS recommended_salt
+    FROM ranked r CROSS JOIN stats s
+    GROUP BY s.n_keys, s.total_rows, s.max_per_key
+    """
+
+
+def kmv_set_ops_sql(pairs, k: int = 64, n: int = 3) -> str:
+    """KMV sketch algebra over per-language n-gram vocabularies:
+    union estimate from the merged k-minimum sketch, intersection from
+    the inclusion ratio — identical math to q_kmv_set_ops."""
+    vals = ",".join(f"('{a}','{b}')" for a, b in pairs)
+    toks = tokens("text")
+    return f"""
+    WITH t AS (SELECT lang, {toks} AS t FROM documents),
+    g AS (SELECT DISTINCT lang, unnest({shingles('t', n)}) AS g FROM t),
+    gh AS (SELECT DISTINCT lang, {hash60('g')} AS h FROM g),
+    sk AS (
+      SELECT lang, h FROM (
+        SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+        FROM gh
+      ) WHERE rn <= {k}
+    ),
+    pairs(lang_a, lang_b) AS (VALUES {vals}),
+    merged AS (
+      SELECT lang_a, lang_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+        SELECT p.lang_a, p.lang_b, s.h, 1 AS in_a, 0 AS in_b
+        FROM pairs p JOIN sk s ON s.lang = p.lang_a
+        UNION ALL
+        SELECT p.lang_a, p.lang_b, s.h, 0 AS in_a, 1 AS in_b
+        FROM pairs p JOIN sk s ON s.lang = p.lang_b
+      ) GROUP BY lang_a, lang_b, h
+    ),
+    u AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY lang_a, lang_b ORDER BY h) AS rn
+        FROM merged
+      ) WHERE rn <= {k}
+    ),
+    est AS (
+      SELECT lang_a, lang_b, MAX(h) AS kth, COUNT(*) AS m,
+             SUM(in_a * in_b) AS n_common
+      FROM u GROUP BY lang_a, lang_b
+    ),
+    eg AS (
+      SELECT lang_a, lang_b, gg, MAX(a) AS a, MAX(b) AS b FROM (
+        SELECT p.lang_a, p.lang_b, g.g AS gg, 1 AS a, 0 AS b
+        FROM pairs p JOIN g ON g.lang = p.lang_a
+        UNION ALL
+        SELECT p.lang_a, p.lang_b, g.g AS gg, 0 AS a, 1 AS b
+        FROM pairs p JOIN g ON g.lang = p.lang_b
+      ) GROUP BY lang_a, lang_b, gg
+    ),
+    ex AS (
+      SELECT lang_a, lang_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_union,
+             CAST(SUM(a * b) AS BIGINT) AS exact_intersect
+      FROM eg GROUP BY lang_a, lang_b
+    )
+    SELECT e.lang_a, e.lang_b,
+           CASE WHEN e.m < {k} THEN CAST(e.m AS DOUBLE)
+                ELSE {float(k - 1) * 2.0**60} / CAST(e.kth AS DOUBLE)
+           END AS est_union,
+           (CAST(e.n_common AS DOUBLE) / CAST(e.m AS DOUBLE))
+             * CASE WHEN e.m < {k} THEN CAST(e.m AS DOUBLE)
+                    ELSE {float(k - 1) * 2.0**60} / CAST(e.kth AS DOUBLE)
+               END AS est_intersect,
+           x.exact_union, x.exact_intersect
+    FROM est e JOIN ex x USING (lang_a, lang_b)
+    """
+
+
 def vocab_coverage_sql(checkpoints=(100, 1000, 5000, 10000), n: int = 3) -> str:
     """Trigram-vocabulary coverage curve: what fraction of the corpus's
     n-gram stream is covered by the top-N vocabulary — the tokenizer-
