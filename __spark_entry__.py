@@ -357,6 +357,26 @@ def q_ann_pq_rerank(spark, sf_dir):
     return S.ann_pq_rerank(queries, emb, k=5, shortlist=20)
 
 
+def q_ann_pq_recall(spark, sf_dir):
+    """Recall of PQ shortlist+rerank vs exact top-5, per query —
+    completes the measured recall/cost curve alongside ann_recall
+    (IVF nprobe=1) and ann_recall_multiprobe (nprobe=2): the three
+    points quantify what each approximation actually costs in retrieval
+    quality, with every leg deterministic and cross-engine-exact."""
+    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    pq = q_ann_pq_rerank(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = bf.join(pq, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return truth.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_true",
+        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("recall"),
+    )
+
+
 _VOCAB_CHECKPOINTS = (100, 1000, 5000, 10000)
 
 
@@ -2406,6 +2426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_code_histogram": q_pq_code_histogram,
         "ann_pq_adc": q_ann_pq_adc,
         "ann_pq_rerank": q_ann_pq_rerank,
+        "ann_pq_recall": q_ann_pq_recall,
         "vocab_coverage": q_vocab_coverage,
         "dedup_clusters_star": q_dedup_clusters_star,
         "kmv_set_ops": q_kmv_set_ops,
@@ -3046,6 +3067,23 @@ def oracle_sql() -> dict[str, str]:
         "pq_code_histogram": O.pq_code_histogram_sql(),
         "ann_pq_adc": O.ann_pq_adc_sql(k=5, n_queries=20),
         "ann_pq_rerank": O.ann_pq_rerank_sql(k=5, shortlist=20, n_queries=20),
+        "ann_pq_recall": f"""
+            WITH bf AS ({O.ann_topk_sql(k=5, n_queries=20)}),
+            pq AS ({O.ann_pq_rerank_sql(k=5, shortlist=20, n_queries=20)}),
+            hits AS (
+              SELECT bf.query_id, COUNT(*) AS n_hit
+              FROM bf JOIN pq USING (query_id, neighbor_id)
+              GROUP BY bf.query_id
+            ),
+            truth AS (
+              SELECT query_id, COUNT(*) AS n_true FROM bf GROUP BY query_id
+            )
+            SELECT truth.query_id,
+                   CAST(n_true AS BIGINT) AS n_true,
+                   CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+                   COALESCE(n_hit, 0) / CAST(n_true AS DOUBLE) AS recall
+            FROM truth LEFT JOIN hits ON truth.query_id = hits.query_id
+        """,
         "vocab_coverage": O.vocab_coverage_sql(_VOCAB_CHECKPOINTS),
         "dedup_clusters_star": O.dedup_clusters_sql(
             iterations=16, materialized=True
