@@ -357,6 +357,18 @@ def q_ann_pq_rerank(spark, sf_dir):
     return S.ann_pq_rerank(queries, emb, k=5, shortlist=20)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Tokenizer training: 20 BPE merges learned from the corpus's
+    word-frequency table (operators.text.bpe_train). Iterative and
+    data-dependent (argmax pair per round via a 1-row driver collect),
+    so there is deliberately no SQL oracle — correctness is pinned by a
+    pure-Python reference implementation under hypothesis
+    (test_bpe_train_matches_python_reference); the driver records the
+    rows-only check."""
+    docs = _tp(spark, sf_dir, "documents")
+    return TX.bpe_train(docs, n_merges=20)
+
+
 def q_ann_pq_recall(spark, sf_dir):
     """Recall of PQ shortlist+rerank vs exact top-5, per query —
     completes the measured recall/cost curve alongside ann_recall
@@ -745,10 +757,17 @@ def q_kmv_set_ops(spark, sf_dir):
     ground truth; production would drop them)."""
     from pyspark.sql import Window as SW
 
+    from hri_flink_pipeline_core_spark.operators.cache import tracked_persist
+
     docs = _tp(spark, sf_dir, "documents")
-    grams = docs.select(
-        "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("g")
-    ).distinct()
+    # (lang, gram) feeds FOUR consumers (both sketch sides + both exact
+    # sides); persist the vocabulary-keyed distinct so the corpus
+    # explode runs once.
+    grams = tracked_persist(
+        docs.select(
+            "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("g")
+        ).distinct()
+    )
     gh = grams.select("lang", TX.hash60(F.col("g")).alias("h")).distinct()
     w = SW.partitionBy("lang").orderBy("h")
     sk = (
@@ -2428,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank": q_ann_pq_rerank,
         "ann_pq_recall": q_ann_pq_recall,
         "vocab_coverage": q_vocab_coverage,
+        "bpe_merges": q_bpe_merges,
         "dedup_clusters_star": q_dedup_clusters_star,
         "kmv_set_ops": q_kmv_set_ops,
         "skew_profile": q_skew_profile,

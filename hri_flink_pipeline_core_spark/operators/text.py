@@ -171,6 +171,113 @@ def pii_redact(text: Column) -> Column:
 # that scales: at 100 TB the explode output never materializes — it
 # streams through the agg inside one stage.
 
+def bpe_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = 20,
+):
+    """Train a byte-pair-encoding merge table on the corpus — the
+    tokenizer-construction step of an LLM data pipeline, in the
+    word-frequency form GPT-2-style BPE uses: tokenization state lives
+    on the DISTINCT-WORD table (vocabulary-keyed, orders of magnitude
+    smaller than the corpus — the corpus itself is read exactly once,
+    for the word counts), and each merge round is
+
+      1. adjacent-pair counts: one partial-agg shuffle over the word
+         table's symbol sequences, each pair weighted by word frequency;
+      2. argmax pair (count desc, then pair lexicographic — fully
+         deterministic): a 1-row driver collect, the same honest
+         driver-action-per-round cost as connected_components_star;
+      3. merge application: a pure-codegen regexp_replace on the word
+         table. Symbols are space-joined, and the pattern anchors the
+         pair between string-edge/space LOOKAROUNDS — a bare substring
+         replace would merge across symbol boundaries ("ab c" contains
+         "b c"), and consuming the delimiters would skip adjacent
+         disjoint occurrences ("a a a a" must become "aa aa"). With
+         zero-width boundaries, Java's non-overlapping left-to-right
+         replacement is exactly standard BPE merge order.
+
+    Returns the merge table (merge_idx, left, right, merged) — the
+    artifact a tokenizer ships. Deterministic on any engine and
+    partitioning; verified against a pure-Python reference
+    implementation in tests (iterative + data-dependent, so there is
+    deliberately no SQL oracle).
+
+    Scale: the word table is checkpoint-truncated every few rounds
+    (lineage grows one string-replace per merge); pair counting is the
+    only shuffle and it runs on vocabulary-sized data. 100 TB corpora
+    train tokenizers exactly this way — frequency table first."""
+    from pyspark.sql import functions as F
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            # the zero-width split pattern also matches at end-of-string,
+            # yielding a trailing "" element — drop empties or the
+            # space-join grows a phantom empty symbol
+            F.concat_ws(
+                " ", F.array_remove(F.split(F.col("w"), "(?!^)"), "")
+            ).alias("sym"),
+            "freq",
+        )
+    ).localCheckpoint()
+    # the word table is VOCABULARY-sized; partition it proportionally
+    # (one partition per ~64k words, capped at the cluster default) so
+    # the 20 per-round jobs don't each schedule a corpus-sized task set
+    # over a thousand-row table — the same right-sizing AQE applies to
+    # shuffle outputs, done once here for the loop's checkpointed input.
+    n_words = words.count()
+    target = max(1, min(words.rdd.getNumPartitions(), n_words // 65536 + 1))
+    if target < words.rdd.getNumPartitions():
+        words = words.coalesce(target)
+
+    merges = []
+    for i in range(n_merges):
+        syms = words.select(F.split(F.col("sym"), " ").alias("s"), "freq")
+        pairs = syms.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("s"), 1, F.greatest(F.size("s") - 1, F.lit(0))),
+                    F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] is None:
+            break
+        left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((i, left, right, left + right, int(cnt)))
+        # \Q..\E literal-quotes the pair (symbols here are word chars,
+        # but merged symbols grow arbitrary content); the lookarounds
+        # are zero-width so adjacent disjoint pairs both merge.
+        pattern = f"(?<=^| )\\Q{left} {right}\\E(?= |$)"
+        # Java replacement strings treat \ and $ specially — quote them.
+        rep = (left + right).replace("\\", "\\\\").replace("$", "\\$")
+        words = words.select(
+            F.regexp_replace(
+                F.col("sym"), F.lit(pattern), F.lit(rep)
+            ).alias("sym"),
+            "freq",
+        )
+        if (i + 1) % 5 == 0:
+            words = words.localCheckpoint()
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_idx int, left string, right string, merged string, pair_count long"
+    )
+
+
 def shingle_str_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int = 5):
     """(doc_id, shingle) — one row per word-k-gram shingle STRING, fully
     whole-stage-codegen (explode of an index sequence + concat_ws of

@@ -28,7 +28,10 @@ def test_entry_smoke(spark):
 def test_every_query_has_oracle():
     missing = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops may be absent from oracles; keep explicit
-    allowed_missing = set()
+    # bpe_merges: iterative data-dependent tokenizer training — no SQL
+    # oracle by design; pinned by the pure-Python reference under
+    # hypothesis (test_bpe_train_matches_python_reference)
+    allowed_missing = {"bpe_merges"}
     assert missing <= allowed_missing
 
 

@@ -467,3 +467,60 @@ def test_bucket_pairs_max_bucket_blacklist(spark, rows):
         for a, c in combinations(sorted(ids), 2)
     )
     assert got == want
+
+
+def _bpe_train_python(texts, n_merges):
+    """Reference BPE: word-frequency table, greedy left-to-right merge,
+    ties -> lexicographically smallest pair."""
+    import re as _re
+    from collections import Counter
+
+    freq = Counter()
+    for t in texts:
+        for w in _re.split(r"\s+", t):
+            if w:
+                freq[w] += 1
+    words = {w: list(w) for w in freq}
+    merges = []
+    for i in range(n_merges):
+        counts = Counter()
+        for w, syms in words.items():
+            f = freq[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((i, left, right, left + right, cnt))
+        for w, syms in words.items():
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[w] = out
+    return merges
+
+
+texts_strategy = st.lists(
+    st.text(alphabet="abc ", min_size=1, max_size=24), min_size=1, max_size=8
+)
+
+
+@given(texts=texts_strategy)
+@settings(**{**_SETTINGS, "max_examples": 5})
+def test_bpe_train_matches_python_reference(spark, texts):
+    from hri_flink_pipeline_core_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.merge_idx, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(df, n_merges=6).orderBy("merge_idx").collect()
+    ]
+    expected = _bpe_train_python(texts, 6)
+    assert got == expected
