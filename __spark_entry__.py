@@ -1082,6 +1082,14 @@ def q_media_blob_stats(spark, sf_dir):
     return MM.blob_stats(media)
 
 
+def q_media_exact_dedup(spark, sf_dir):
+    """Blob-level exact dedup + storage-savings report: md5 and byte
+    length computed scan-side so the blob itself never shuffles — only
+    the 16-byte key + two ints cross the one hash-partition exchange."""
+    media = MM.media_from_documents(_t(spark, sf_dir, "documents"))
+    return MM.media_exact_dedup(media)
+
+
 def q_media_decode_features(spark, sf_dir):
     media = MM.media_from_documents(_tp(spark, sf_dir, "documents"))
     return MM.decode_features(media)
@@ -2448,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": q_ann_pq_recall,
         "vocab_coverage": q_vocab_coverage,
         "bpe_merges": q_bpe_merges,
+        "media_exact_dedup": q_media_exact_dedup,
         "dedup_clusters_star": q_dedup_clusters_star,
         "kmv_set_ops": q_kmv_set_ops,
         "skew_profile": q_skew_profile,
@@ -3548,6 +3557,19 @@ def oracle_sql() -> dict[str, str]:
                           range(1, CAST(event_id % 4 + 1 AS INTEGER) + 1),
                           x -> x*2)) AS BIGINT) AS max_doubled
             FROM events
+        """,
+        "media_exact_dedup": """
+            WITH s AS (
+              SELECT doc_id AS media_id, md5(text) AS content_md5,
+                     octet_length(encode(text)) AS n_bytes
+              FROM documents
+            )
+            SELECT content_md5,
+                   CAST(MIN(media_id) AS BIGINT) AS canonical_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   CAST(MAX(n_bytes) AS INTEGER) AS blob_bytes,
+                   CAST((COUNT(*) - 1) * MAX(n_bytes) AS BIGINT) AS bytes_saved
+            FROM s GROUP BY content_md5
         """,
         "media_blob_stats": """
             SELECT doc_id AS media_id,

@@ -72,6 +72,31 @@ def blob_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def media_exact_dedup(media: DataFrame) -> DataFrame:
+    """Blob-level exact dedup + storage-savings report — the first
+    dedup pass every image/audio corpus runs (byte-identical copies are
+    the dominant duplicate class in crawled media): group on the blob's
+    md5, keep the smallest id as canonical, report copy count and the
+    bytes a dedup'd store saves.
+
+    Scale shape: the blob never shuffles — md5 + octet_length are
+    computed scan-side (codegen) and only the 16-byte key plus two ints
+    move through the ONE hash-partition shuffle."""
+    s = media.select(
+        "media_id",
+        F.md5(F.col("content")).alias("content_md5"),
+        F.octet_length("content").alias("n_bytes"),
+    )
+    return s.groupBy("content_md5").agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.max("n_bytes").alias("blob_bytes"),
+        ((F.count(F.lit(1)) - 1) * F.max("n_bytes")).cast("long").alias(
+            "bytes_saved"
+        ),
+    )
+
+
 DECODED_FEATURES_SCHEMA = (
     "media_id long, n_bytes int, head_byte int, byte_mean double, frame_count int"
 )

@@ -378,3 +378,32 @@ def test_vocab_coverage_vocab_keyed_aggregation(spark, sf001):
     plan = plan_of(entry.q_vocab_coverage(spark, sf001), mode="simple")
     assert plan.count("HashAggregate") >= 2  # partial + final gram counts
     assert "CartesianProduct" not in plan
+
+
+def test_media_exact_dedup_blob_never_shuffles(spark, sf001):
+    """Blob dedup: md5/length are scan-side; the single hash exchange
+    moves only the 16-byte key + ints, never the content column."""
+    plan = plan_of(entry.q_media_exact_dedup(spark, sf001), mode="simple")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # the binary column (attr ref "content#N") must not appear in any
+    # exchange — "content_md5" is fine, the raw blob is not
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "content#" not in line
+
+
+def test_skew_profile_single_count_shuffle(spark, sf001):
+    """Skew diagnostic: one partial-agg shuffle to per-key counts; all
+    downstream statistics run on the key-sized table."""
+    plan = plan_of(entry.q_skew_profile(spark, sf001), mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan  # stats side is broadcast
+
+
+def test_kmv_set_ops_sketch_joins_are_small(spark, sf001):
+    """Sketch algebra: gram counts partial-aggregate; no cartesian
+    products anywhere (pair tables join sketch-sized sides)."""
+    plan = plan_of(entry.q_kmv_set_ops(spark, sf001), mode="simple")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # the 4-consumer gram persist
