@@ -298,7 +298,11 @@ def q_dedup_keep_best(spark, sf_dir):
 
 
 _NEW_SOURCES = ("src0", "src1", "src2", "src3")
-_NEW_WHERE_SQL = "source IN ('src0','src1','src2','src3')"
+# derived, never hand-written: the Spark predicate and the oracle WHERE
+# must partition the corpus identically or the comparison is meaningless
+_NEW_WHERE_SQL = "source IN ({})".format(
+    ",".join(f"'{s}'" for s in _NEW_SOURCES)
+)
 
 
 def q_incremental_neardup(spark, sf_dir):
@@ -3114,8 +3118,15 @@ def oracle_sql() -> dict[str, str]:
             FROM truth LEFT JOIN hits ON truth.query_id = hits.query_id
         """,
         "vocab_coverage": O.vocab_coverage_sql(_VOCAB_CHECKPOINTS),
+        # 24 propagation iterations bound the oracle's reach: the Spark
+        # side converges on ANY diameter, so the oracle must run at
+        # least diameter-of-the-widest-component rounds. Near-dup
+        # components at sf0.01 have diameter <= 5 (measured); 24 gives
+        # ~5x headroom and costs pennies with MATERIALIZED CTEs. If the
+        # testdata generator ever produces longer duplicate chains,
+        # raise this — the Spark operator is the correct one.
         "dedup_clusters_star": O.dedup_clusters_sql(
-            iterations=16, materialized=True
+            iterations=24, materialized=True
         ),
         "kmv_set_ops": O.kmv_set_ops_sql(_KMV_PAIRS, k=_KMV_K),
         "skew_profile": O.skew_profile_sql(),

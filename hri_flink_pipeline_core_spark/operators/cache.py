@@ -30,6 +30,28 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def persist_mark() -> int:
+    """Registry high-water mark for scoped release (see
+    :func:`release_persists_since`)."""
+    return len(_LIVE_PERSISTS)
+
+
+def release_persists_since(mark: int) -> int:
+    """Unpersist only the intermediates registered AFTER ``mark`` —
+    the per-iteration release for long-lived callers (e.g. a streaming
+    gate releasing each micro-batch's persists without touching its own
+    construction-time caches). Returns the number released."""
+    n = 0
+    for df in _LIVE_PERSISTS[mark:]:
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:  # session already stopped — nothing to free
+            pass
+    del _LIVE_PERSISTS[mark:]
+    return n
+
+
 def release_persisted_intermediates() -> int:
     """Unpersist every intermediate cached via :func:`tracked_persist`
     since the last release; returns the number released. Safe to call at

@@ -862,6 +862,18 @@ def ref_banded_rows(
     )
 
 
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """(doc_id, sh) — each doc's DISTINCT k-shingle set, the exact-
+    verification payload. Precompute + cache this for a reference corpus
+    to make repeated verification passes scan-free."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("sh"),
+    )
+
+
 def crosscorpus_verdicts(
     new_df: DataFrame,
     ref_df: DataFrame,
@@ -871,22 +883,48 @@ def crosscorpus_verdicts(
     threshold: float = 0.5,
     max_bucket: int = 64,
     ref_banded: DataFrame | None = None,
+    ref_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-new-doc admission verdicts against a reference corpus:
     cross-corpus LSH candidates (new side broadcast) -> exact n-gram
     Jaccard verification -> (doc_id, n_ref_dups, best_jaccard, is_dup)
     for EVERY new document (no match -> 0 / 0.0 / false).
-    ``ref_banded`` lets callers reuse a precomputed/cached reference
-    band table across many batches."""
-    cands = crosscorpus_candidates(
-        new_df, ref_df, text_col, id_col, k, max_bucket, ref_banded
+
+    Shingle sets are built PER SIDE (new ids from ``new_df``, ref ids
+    from ``ref_df``), so a re-crawled document whose id exists on both
+    sides is scored new-text-vs-stored-text — the correct incremental
+    semantics — rather than ambiguously joining both copies.
+
+    ``ref_banded`` / ``ref_sets`` let long-lived callers (the streaming
+    admission gate) reuse a cached band table and cached reference
+    shingle sets across batches; without ``ref_sets`` the verification
+    leg reads the reference table once, column-pruned and semi-joined
+    down to candidate ids."""
+    cands = _persist(
+        crosscorpus_candidates(
+            new_df, ref_df, text_col, id_col, k, max_bucket, ref_banded
+        )
     )
-    corpus = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
-        ref_df.select(F.col(id_col), F.col(text_col))
+    a_ids = cands.select(F.col("doc_a").alias("doc_id")).distinct()
+    sets_a = (
+        shingle_sets(new_df, text_col, id_col, k)
+        .join(F.broadcast(a_ids), "doc_id", "left_semi")
+        .select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     )
-    verified = ngram_jaccard_pairs(
-        corpus, cands, text_col, id_col, k, threshold
+    if ref_sets is None:
+        b_ids = cands.select(F.col("doc_b").alias("doc_id")).distinct()
+        ref_sets = shingle_sets(ref_df, text_col, id_col, k).join(
+            F.broadcast(b_ids), "doc_id", "left_semi"
+        )
+    sets_b = ref_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
     )
+    joined = cands.join(sets_a, "doc_a").join(sets_b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    verified = joined.select(
+        "doc_a", (inter / F.greatest(union, F.lit(1))).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
     per_new = verified.groupBy(F.col("doc_a").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("n_ref_dups"),
         F.max("jaccard").alias("best_jaccard"),

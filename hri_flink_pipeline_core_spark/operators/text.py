@@ -257,10 +257,14 @@ def bpe_train(
             break
         left, right, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         merges.append((i, left, right, left + right, int(cnt)))
-        # \Q..\E literal-quotes the pair (symbols here are word chars,
-        # but merged symbols grow arbitrary content); the lookarounds
-        # are zero-width so adjacent disjoint pairs both merge.
-        pattern = f"(?<=^| )\\Q{left} {right}\\E(?= |$)"
+        # Literal-quote the pair with Java Pattern.quote semantics: a
+        # bare \Q..\E wrapper breaks if a symbol itself contains "\E"
+        # (which would terminate quoting early and leave live regex) —
+        # Pattern.quote splices \E\\E\Q at each embedded \E, exactly
+        # reproduced here. The lookarounds are zero-width so adjacent
+        # disjoint pairs both merge.
+        quoted = "\\Q" + f"{left} {right}".replace("\\E", "\\E\\\\E\\Q") + "\\E"
+        pattern = f"(?<=^| ){quoted}(?= |$)"
         # Java replacement strings treat \ and $ specially — quote them.
         rep = (left + right).replace("\\", "\\\\").replace("$", "\\$")
         words = words.select(

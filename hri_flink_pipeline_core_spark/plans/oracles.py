@@ -668,9 +668,11 @@ def pq_code_histogram_sql() -> str:
     """
 
 
-def ann_pq_adc_sql(k: int = 5, n_queries: int = 20) -> str:
+def pq_adc_cte(n_queries: int = 20) -> str:
+    """CTEs lut/contrib/adc — the asymmetric-distance scoring block
+    shared VERBATIM by ann_pq_adc_sql and ann_pq_rerank_sql (one place
+    to fix the quantization constant or the self-match filter)."""
     return f"""
-    WITH {pq_cte()},
     lut AS (
       SELECT vec_id AS query_id, s.sub, b.code,
              CAST(floor({dot_sql('s.subvec', 'b.subcentroid')} * 1e10 + 0.5)
@@ -687,7 +689,13 @@ def ann_pq_adc_sql(k: int = 5, n_queries: int = 20) -> str:
       SELECT query_id, neighbor_id,
              CAST(SUM(part) AS DOUBLE) / 1e10 AS approx_dot
       FROM contrib GROUP BY query_id, neighbor_id
-    )
+    )"""
+
+
+def ann_pq_adc_sql(k: int = 5, n_queries: int = 20) -> str:
+    return f"""
+    WITH {pq_cte()},
+    {pq_adc_cte(n_queries)}
     SELECT query_id, neighbor_id, approx_dot FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY query_id ORDER BY approx_dot DESC, neighbor_id DESC) AS rn
@@ -701,23 +709,7 @@ def ann_pq_rerank_sql(k: int = 5, shortlist: int = 20, n_queries: int = 20) -> s
     mirroring ann_pq_adc), exact-cosine rerank of only those pairs."""
     return f"""
     WITH {pq_cte()},
-    lut AS (
-      SELECT vec_id AS query_id, s.sub, b.code,
-             CAST(floor({dot_sql('s.subvec', 'b.subcentroid')} * 1e10 + 0.5)
-                  AS BIGINT) AS part
-      FROM sv s JOIN books b USING (sub)
-      WHERE s.vec_id < {n_queries}
-    ),
-    contrib AS (
-      SELECT l.query_id, c.vec_id AS neighbor_id, l.part
-      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
-      WHERE l.query_id <> c.vec_id
-    ),
-    adc AS (
-      SELECT query_id, neighbor_id,
-             CAST(SUM(part) AS DOUBLE) / 1e10 AS approx_dot
-      FROM contrib GROUP BY query_id, neighbor_id
-    ),
+    {pq_adc_cte(n_queries)},
     short AS (
       SELECT query_id, neighbor_id FROM (
         SELECT *, ROW_NUMBER() OVER (

@@ -86,18 +86,27 @@ class StreamingAdmissionGate:
     LSH candidates + exact Jaccard, operators.dedup.crosscorpus_verdicts)
     — the continuous form of the per-batch admission check.
 
-    The reference corpus's capped LSH band table is computed ONCE at
-    construction and cached for the gate's lifetime; each micro-batch
-    pays only its own (small) signature pass plus one broadcast join
-    against the cached bands — the corpus is never re-scanned per
-    trigger. Use ``foreach_batch(sink)`` as the ``foreachBatch``
-    callback of a streaming query; ``close()`` releases the cache.
+    Per-trigger cost, honestly: candidate generation is the batch's own
+    (small) signature pass plus one broadcast join against the reference
+    band table, which is computed ONCE at construction and cached
+    (~50 bytes/doc — ~5 GB per 10^8 docs). The exact-Jaccard
+    verification leg needs the candidate REF docs' shingle sets: with
+    ``cache_ref_sets=True`` those are also precomputed and cached
+    (scan-free triggers, but storage ∝ total reference shingle
+    footprint — the right call when the reference fits executor
+    storage); with the default ``False`` each trigger re-reads the
+    reference table column-pruned and semi-joined down to candidate ids
+    (one bounded scan per trigger — the right call at 100 TB, where the
+    scan is cheaper than pinning corpus-scale sets).
+
+    Use ``foreach_batch(sink)`` as the ``foreachBatch`` callback of a
+    streaming query — it releases each batch's tracked persists after
+    the sink returns (a long-lived stream must not accumulate them);
+    ``close()`` releases the construction-time caches.
 
     The stateful-streaming alternative (signatures as keyed state via
     transformWithState) would shard the reference by band hash instead
-    of caching it; the micro-batch + cached-static-side form is the
-    standard production pattern while the reference fits executor
-    storage (band rows are ~50 bytes/doc — ~5 GB per 10^8 docs)."""
+    of caching it — same plan shapes, state store instead of cache."""
 
     def __init__(
         self,
@@ -107,19 +116,28 @@ class StreamingAdmissionGate:
         k: int = 5,
         threshold: float = 0.5,
         max_bucket: int = 64,
+        cache_ref_sets: bool = False,
     ):
-        from ..operators.dedup import ref_banded_rows
+        from ..operators.dedup import ref_banded_rows, shingle_sets
 
         self._ref_df = ref_df
         self._params = (text_col, id_col, k, threshold, max_bucket)
         self._ref_banded = ref_banded_rows(
             ref_df, text_col, id_col, k, max_bucket
         ).persist()
+        self._ref_sets = (
+            shingle_sets(ref_df, text_col, id_col, k).persist()
+            if cache_ref_sets
+            else None
+        )
 
     def verdicts(self, batch_df: DataFrame) -> DataFrame:
         """(doc_id, n_ref_dups, best_jaccard, is_dup) for every doc in
         the batch — identical semantics to operators.dedup
-        .crosscorpus_verdicts with this gate's reference corpus."""
+        .crosscorpus_verdicts with this gate's reference corpus. The
+        returned plan registers tracked persists; interactive callers
+        release them via release_persisted_intermediates() (the
+        foreach_batch wrapper does this per trigger)."""
         from ..operators.dedup import crosscorpus_verdicts
 
         text_col, id_col, k, threshold, max_bucket = self._params
@@ -132,18 +150,29 @@ class StreamingAdmissionGate:
             threshold,
             max_bucket,
             ref_banded=self._ref_banded,
+            ref_sets=self._ref_sets,
         )
 
     def foreach_batch(self, sink):
-        """foreachBatch callback: sink(verdicts_df, batch_id)."""
+        """foreachBatch callback: sink(verdicts_df, batch_id); each
+        trigger's tracked persists (batch signatures, candidate table)
+        are released after the sink returns — without this a long-lived
+        stream pins one cached plan set per micro-batch forever."""
+        from ..operators.cache import persist_mark, release_persists_since
 
         def _fn(batch_df: DataFrame, batch_id: int):
-            sink(self.verdicts(batch_df), batch_id)
+            mark = persist_mark()
+            try:
+                sink(self.verdicts(batch_df), batch_id)
+            finally:
+                release_persists_since(mark)
 
         return _fn
 
     def close(self):
         self._ref_banded.unpersist()
+        if self._ref_sets is not None:
+            self._ref_sets.unpersist()
 
 
 def streaming_session_agg(

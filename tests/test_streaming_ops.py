@@ -194,7 +194,7 @@ def test_streaming_admission_gate_matches_batch(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), "availableNow query timed out"
 
         expected = {
             (r.doc_id, r.n_ref_dups, round(r.best_jaccard, 12), r.is_dup)
@@ -205,6 +205,17 @@ def test_streaming_admission_gate_matches_batch(spark, tmp_path):
             for r in out
         }
         assert got == expected
-        assert any(r.is_dup for r in out) or True  # shape check only at sf0.001
+
+        # the cached-ref-shingle-sets variant (scan-free triggers) must
+        # produce identical verdicts
+        gate2 = StreamingAdmissionGate(ref_df, threshold=0.5, cache_ref_sets=True)
+        try:
+            got2 = {
+                (r.doc_id, r.n_ref_dups, round(r.best_jaccard, 12), r.is_dup)
+                for r in gate2.verdicts(new_df.select("doc_id", "text")).collect()
+            }
+            assert got2 == expected
+        finally:
+            gate2.close()
     finally:
         gate.close()
