@@ -2263,6 +2263,59 @@ def q_triangle_count(spark, sf_dir):
     return nodes.crossJoin(n_edges).crossJoin(tri)
 
 
+def q_triangle_count_oriented(spark, sf_dir):
+    """Degree-ordered triangle census — the O(m^1.5) production form
+    SCALING.md promises for web-scale graphs: orient every edge from
+    its (degree, id)-smaller endpoint to the larger, so each node's
+    out-degree is O(sqrt(m)) and the wedge join's per-key fan-out is
+    bounded regardless of hub size (a celebrity node with 10^6
+    neighbors contributes zero wedges from its own key — its edges
+    point INTO it). Emits the triangle count (equal to
+    `triangle_count`'s, cross-checking both algorithms) plus the
+    max out-degree — the boundedness evidence itself."""
+    docs = _tp(spark, sf_dir, "documents")
+    edges = D._persist(D.minhash_lsh_candidates(docs))
+    deg = (
+        edges.select(F.col("doc_a").alias("d"))
+        .unionAll(edges.select(F.col("doc_b").alias("d")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("d").alias("doc_a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("d").alias("doc_b"), F.col("deg").alias("deg_b"))
+    # deg is O(nodes-of-the-pair-graph): small here, potentially large at
+    # web scale — leave the join strategy to AQE rather than pinning a
+    # broadcast that stops being safe at 100x
+    e = edges.join(da, "doc_a").join(db, "doc_b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    oriented = D._persist(
+        e.select(
+            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+        )
+    )
+    o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("dv1"))
+    o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("dv2"))
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dv1") < F.col("dv2"))
+        | ((F.col("dv1") == F.col("dv2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v1"), F.col("v").alias("v2")
+    )
+    tri = wedges.join(closing, ["v1", "v2"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    maxdeg = oriented.groupBy("u").agg(F.count(F.lit(1)).alias("outd")).agg(
+        F.max("outd").alias("max_out_degree")
+    )
+    n_or = oriented.agg(F.count(F.lit(1)).alias("n_oriented_edges"))
+    return tri.crossJoin(F.broadcast(maxdeg)).crossJoin(F.broadcast(n_or))
+
+
 def q_zorder_index(spark, sf_dir):
     """Z-order (Morton) clustering key: interleave the low 10 bits of
     two layout dimensions into one sort key, plus the derived file
@@ -2461,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "bpe_merges": q_bpe_merges,
         "media_exact_dedup": q_media_exact_dedup,
+        "triangle_count_oriented": q_triangle_count_oriented,
         "dedup_clusters_star": q_dedup_clusters_star,
         "kmv_set_ops": q_kmv_set_ops,
         "skew_profile": q_skew_profile,
@@ -2661,6 +2715,43 @@ def oracle_sql() -> dict[str, str]:
                JOIN cand e2 ON e1.doc_b = e2.doc_a
                JOIN cand e3 ON e1.doc_a = e3.doc_a
                            AND e2.doc_b = e3.doc_b) AS n_triangles
+        """,
+        "triangle_count_oriented": f"""
+            WITH cand AS MATERIALIZED ({O.minhash_lsh_pairs_sql()}),
+            deg AS (
+              SELECT d, COUNT(*) AS deg FROM (
+                SELECT doc_a AS d FROM cand
+                UNION ALL SELECT doc_b FROM cand
+              ) GROUP BY d
+            ),
+            oriented AS MATERIALIZED (
+              SELECT CASE WHEN (da.deg < db.deg)
+                            OR (da.deg = db.deg AND c.doc_a < c.doc_b)
+                          THEN c.doc_a ELSE c.doc_b END AS u,
+                     CASE WHEN (da.deg < db.deg)
+                            OR (da.deg = db.deg AND c.doc_a < c.doc_b)
+                          THEN c.doc_b ELSE c.doc_a END AS v,
+                     CASE WHEN (da.deg < db.deg)
+                            OR (da.deg = db.deg AND c.doc_a < c.doc_b)
+                          THEN db.deg ELSE da.deg END AS deg_v
+              FROM cand c
+              JOIN deg da ON da.d = c.doc_a
+              JOIN deg db ON db.d = c.doc_b
+            )
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM oriented o1
+               JOIN oriented o2 ON o1.u = o2.u
+                AND ((o1.deg_v < o2.deg_v)
+                     OR (o1.deg_v = o2.deg_v AND o1.v < o2.v))
+               WHERE EXISTS (SELECT 1 FROM oriented c2
+                             WHERE c2.u = o1.v AND c2.v = o2.v)
+              ) AS n_triangles,
+              (SELECT CAST(MAX(outd) AS BIGINT) FROM
+                 (SELECT u, COUNT(*) AS outd FROM oriented GROUP BY u)
+              ) AS max_out_degree,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM oriented)
+                AS n_oriented_edges
         """,
         "zorder_index": f"""
             WITH z AS (
