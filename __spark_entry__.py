@@ -2337,6 +2337,41 @@ def q_zorder_index(spark, sf_dir):
     ).withColumn("zbucket", F.shiftright(F.col("zval"), 12))
 
 
+def q_zorder_manifest(spark, sf_dir):
+    """The read-side half of the Z-order story: the per-bucket min/max
+    MANIFEST (what Delta/Iceberg store per file) plus the measured
+    pruning effectiveness it buys. For each Z-order bucket
+    (`zorder_index`'s zbucket = a file in a real layout) emit min/max of
+    BOTH layout dimensions and the row count, plus a `prunable` flag for
+    a representative range predicate (p_size BETWEEN 20 AND 30): a
+    bucket is skipped when its [min, max] interval misses the predicate
+    range — the exact arithmetic a manifest-driven scan planner runs.
+    Because Z-ordering co-locates rows close in both dimensions, most
+    buckets' size-intervals are narrow and the flag prunes them; the
+    same stats on an unsorted layout would prune ~nothing.
+
+    Scale shape: ONE partial-agg shuffle keyed by bucket (manifests are
+    bucket-cardinality tables); the flag is pure projection."""
+    zi = q_zorder_index(spark, sf_dir)
+    stats = zi.groupBy("zbucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zx").alias("min_zx"),
+        F.max("zx").alias("max_zx"),
+        F.min("zy").alias("min_zy"),
+        F.max("zy").alias("max_zy"),
+    )
+    lo, hi = 20, 30
+    return stats.select(
+        "zbucket",
+        "n_rows",
+        "min_zx",
+        "max_zx",
+        "min_zy",
+        "max_zy",
+        ((F.col("max_zy") < lo) | (F.col("min_zy") > hi)).alias("prunable"),
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Length-weighted deterministic Bernoulli sampling: keep doc with
     probability n_chars / max(n_chars), decided by integer comparison of
@@ -2515,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "media_exact_dedup": q_media_exact_dedup,
         "triangle_count_oriented": q_triangle_count_oriented,
+        "zorder_manifest": q_zorder_manifest,
         "dedup_clusters_star": q_dedup_clusters_star,
         "kmv_set_ops": q_kmv_set_ops,
         "skew_profile": q_skew_profile,
@@ -2767,6 +2803,29 @@ def oracle_sql() -> dict[str, str]:
               FROM part
             )
             SELECT p_partkey, zx, zy, zval, zval >> 12 AS zbucket FROM z
+        """,
+        "zorder_manifest": f"""
+            WITH z AS (
+              SELECT p_partkey,
+                     p_partkey % 1024 AS zx,
+                     CAST(p_size AS BIGINT) % 1024 AS zy,
+                     CAST({' + '.join(
+                         f'(((((p_partkey % 1024) >> {i}) & 1) << {2 * i})'
+                         f' + ((((CAST(p_size AS BIGINT) % 1024) >> {i}) & 1)'
+                         f' << {2 * i + 1}))'
+                         for i in range(10)
+                     )} AS BIGINT) AS zval
+              FROM part
+            ),
+            b AS (SELECT zval >> 12 AS zbucket, zx, zy FROM z)
+            SELECT zbucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MIN(zx) AS BIGINT) AS min_zx,
+                   CAST(MAX(zx) AS BIGINT) AS max_zx,
+                   CAST(MIN(zy) AS BIGINT) AS min_zy,
+                   CAST(MAX(zy) AS BIGINT) AS max_zy,
+                   (MAX(zy) < 20 OR MIN(zy) > 30) AS prunable
+            FROM b GROUP BY zbucket
         """,
         "weighted_sample": f"""
             SELECT doc_id, lang, n_chars
