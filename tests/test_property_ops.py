@@ -524,3 +524,110 @@ def test_bpe_train_matches_python_reference(spark, texts):
     ]
     expected = _bpe_train_python(texts, 6)
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter similarity join: exactness (zero false negatives) vs
+# brute-force all-pairs Jaccard over arbitrary tiny corpora
+# ---------------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+        min_size=0,
+        max_size=8,
+    ).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@given(texts=docs_strategy)
+@settings(**_SETTINGS)
+def test_prefix_filter_pairs_matches_bruteforce_jaccard(spark, texts):
+    from hri_flink_pipeline_core_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    k, t = 2, 0.5
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def sh(s):
+        toks = [w for w in s.split(" ") if w]
+        if len(toks) >= k:
+            return {
+                " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            }
+        if toks:
+            return {" ".join(toks)}
+        return set()
+
+    sets = {i: sh(s) for i, s in enumerate(texts)}
+    expected = set()
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter / union >= t:
+                    expected.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_pairs(df, k=k, threshold=t).collect()
+    }
+    # EXACT join: both directions — no false negatives AND no survivors
+    # below threshold
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: the estimate never undercounts, for any key stream
+# ---------------------------------------------------------------------------
+
+stream_strategy = st.lists(
+    st.sampled_from("k0 k1 k2 k3 k4 k5 k6 k7".split()), min_size=1, max_size=60
+)
+
+
+@given(stream=stream_strategy)
+@settings(**_SETTINGS)
+def test_countmin_never_undercounts(spark, stream):
+    """The defining CM guarantee (estimate >= exact, for EVERY key) on an
+    adversarially small sketch (width 4 -> heavy collisions), computed
+    with the same build-from-vocab plan q_countmin_heavy uses."""
+    from collections import Counter
+
+    from hri_flink_pipeline_core_spark.operators.text import hash32
+
+    width, rows_n = 4, 3
+    vocab = spark.createDataFrame(
+        list(Counter(stream).items()), "tok string, cnt long"
+    )
+    rows_arr = F.array(*[F.lit(i) for i in range(rows_n)])
+
+    def cm_col(tok_col, r_col):
+        return hash32(
+            F.concat(F.lit("cm"), r_col.cast("string"), F.lit("-"), tok_col)
+        ) % width
+
+    cells = (
+        vocab.select("tok", "cnt", F.explode(rows_arr).alias("r"))
+        .select("r", cm_col(F.col("tok"), F.col("r")).alias("col"), "cnt")
+        .groupBy("r", "col")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    probe = vocab.select("tok", "cnt", F.explode(rows_arr).alias("r")).select(
+        "tok", "cnt", "r", cm_col(F.col("tok"), F.col("r")).alias("col")
+    )
+    est = (
+        probe.join(cells, ["r", "col"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("c").alias("cm_est"))
+        .collect()
+    )
+    exact = Counter(stream)
+    assert len(est) == len(exact)
+    for r in est:
+        assert r.cm_est >= exact[r.tok], (r.tok, r.cm_est, exact[r.tok])
