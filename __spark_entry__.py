@@ -2863,6 +2863,227 @@ def q_prefix_filter_pairs(spark, sf_dir):
     )
 
 
+
+def q_event_funnel(spark, sf_dir):
+    """Ordered conversion funnel view -> click -> purchase: per user the
+    earliest view, the earliest click STRICTLY AFTER that view, the
+    earliest purchase strictly after that click; one summary row with
+    step populations and conversion ratios — the product-analytics
+    staple, expressed as three filtered partial aggs + two user-keyed
+    joins (never a per-user sort of the whole event stream; each step's
+    agg sees only its event type). Integer-microsecond comparisons ->
+    exact cross-engine.
+
+    Scale shape: each step aggregates a TYPE-FILTERED slice (filter
+    pushed to the scan) keyed by user; joins are user-keyed and
+    step-N's input only shrinks. At 100 TB this is 3 partial-agg
+    shuffles of user-sized tables."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("tus") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("tus") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("t_purchase"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).alias("n_view"))
+    n2 = c.agg(F.count(F.lit(1)).alias("n_click"))
+    n3 = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            (F.col("n_click").cast("double") / F.col("n_view")).alias(
+                "conv_view_click"
+            ),
+            (F.col("n_purchase").cast("double") / F.col("n_click")).alias(
+                "conv_click_purchase"
+            ),
+        )
+    )
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention triangle: cohort = a user's first active week,
+    retention = distinct users active at week offset k, plus the cohort
+    size and the retained ratio. Weeks are INTEGER epoch-day div 7 (not
+    date_trunc) so bucketing is engine- and locale-proof.
+
+    Scale shape: (user, week) presence is one distinct partial agg;
+    cohorts are a user-keyed min; the triangle is a second tiny agg —
+    all shuffles carry user- or cohort-sized rows, never raw events."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000) div 7"
+        ).alias("week"),
+    )
+    uw = ev.distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    tri = (
+        uw.join(cohort, "user_id")
+        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset_weeks"), "user_id")
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return tri.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "offset_weeks",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+            "retained_ratio"
+        ),
+    )
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order event-type transition matrix (the Markov-chain /
+    user-path census): per user, consecutive event pairs by (ts,
+    event_id) order -> transition counts + per-source probability.
+    One user-keyed window (single shuffle) produces every pair; the
+    probability join runs on the 5x5 transition table."""
+    from pyspark.sql import Window as SW
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = SW.partitionBy("user_id").orderBy("tus", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cnt = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    totals = cnt.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return cnt.join(F.broadcast(totals), "src").select(
+        "src",
+        "dst",
+        "n",
+        (F.col("n").cast("double") / F.col("n_src")).alias("p"),
+    )
+
+
+def q_rolling_zscore(spark, sf_dir):
+    """Trailing-window anomaly score: per user, z-score of each event
+    value against the previous 9 events (ROWS frame, >= 5 samples
+    required), top-20 |z| — streaming-ish outlier detection as one
+    user-keyed window. Mean/variance come from DECIMAL window sums
+    (order-independent exact; a double window sum would differ between
+    Spark's running accumulation and DuckDB's segment tree), and only
+    the final variance/sqrt runs in double (fixed expression tree ->
+    deterministic)."""
+    from pyspark.sql import Window as SW
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        F.col("value").cast("decimal(18,6)").alias("vd"),
+        "value",
+    )
+    w = (
+        SW.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(-9, -1)
+    )
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prev"),
+        F.sum("vd").over(w).cast("double").alias("s1"),
+        F.sum(F.col("vd") * F.col("vd")).over(w).cast("double").alias("s2"),
+    ).filter(F.col("n_prev") >= 5)
+    mean = F.col("s1") / F.col("n_prev")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_prev")) / F.col(
+        "n_prev"
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    scored = stats.select(
+        "event_id", "user_id", "value", z.alias("zscore")
+    ).filter(F.col("zscore").isNotNull())
+    from pyspark.sql import Window as SW2
+
+    rw = SW2.orderBy(F.abs(F.col("zscore")).desc(), F.col("event_id"))
+    return scored.select(
+        "*", F.row_number().over(rw).alias("z_rank")
+    ).filter(F.col("z_rank") <= 20)
+
+
+def q_cooccurrence_lift(spark, sf_dir):
+    """Document-level token co-occurrence with integer-ratio lift — the
+    market-basket / related-terms statistic (PMI's doc-level sibling:
+    pmi_bigrams scores ADJACENCY, this scores presence-in-the-same-doc).
+    lift ~ P(a,b)/(P(a)P(b)) ordered by the exact integer
+    floor(n_both*n_docs*1e6/(n_a*n_b)); support >= 10 docs.
+
+    Scale shape: (doc, token) distinct collapses the corpus once; the
+    pair self-join is per-doc (bounded by per-doc DISTINCT vocabulary,
+    not doc length); counts and the two marginal joins are
+    vocabulary-keyed. At web scale, bound the per-doc vocab with a df
+    band-pass (drop stop-words df>cap and hapax df=1) before the
+    self-join — same plan downstream."""
+    from pyspark.sql import Window as SW
+
+    docs = _tp(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    ).distinct()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
+    marg = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = dt.select("doc_id", F.col("tok").alias("tok_a"))
+    b = dt.select("doc_id", F.col("tok").alias("tok_b"))
+    both = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 10)
+    )
+    ma = marg.select(F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    mb = marg.select(F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    scored = (
+        both.join(ma, "tok_a")
+        .join(mb, "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr("(n_both * nd * 1000000) div (n_a * n_b)").alias("lift_q"),
+        )
+    )
+    w = SW.orderBy(F.col("lift_q").desc(), F.col("tok_a"), F.col("tok_b"))
+    return scored.select(
+        "*", F.row_number().over(w).alias("lift_rank")
+    ).filter(F.col("lift_rank") <= 20)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER is deliberate: the driver's correctness harness has a
     # per-round budget (50 keys/round in rounds 1-2) and walks this dict
@@ -2883,6 +3104,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq_topk": q_ann_sq_topk,
         "ann_sq_recall": q_ann_sq_recall,
         "prefix_filter_pairs": q_prefix_filter_pairs,
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
+        "event_transitions": q_event_transitions,
+        "rolling_zscore": q_rolling_zscore,
+        "cooccurrence_lift": q_cooccurrence_lift,
         # -- (1) the 10 keys with no driver verdict (positions 51-60 in
         #    round 2's ordering) --
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
@@ -3051,6 +3277,139 @@ def oracle_sql() -> dict[str, str]:
     routed = TD.SQL_ROUTED_EVENTS
     h_doc = O.hash32("CAST(doc_id AS VARCHAR)")
     return {
+        "event_funnel": """
+            WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+            ),
+            v AS (
+              SELECT user_id, MIN(tus) AS t_view FROM e
+              WHERE event_type = 'view' GROUP BY user_id
+            ),
+            c AS (
+              SELECT e.user_id, MIN(e.tus) AS t_click
+              FROM e JOIN v ON v.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.tus > v.t_view
+              GROUP BY e.user_id
+            ),
+            p AS (
+              SELECT e.user_id, MIN(e.tus) AS t_purchase
+              FROM e JOIN c ON c.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.tus > c.t_click
+              GROUP BY e.user_id
+            )
+            SELECT
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase,
+              CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                / (SELECT COUNT(*) FROM v) AS conv_view_click,
+              CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                / (SELECT COUNT(*) FROM c) AS conv_click_purchase
+        """,
+        "retention_cohorts": """
+            WITH uw AS (
+              SELECT DISTINCT user_id,
+                     (epoch_us(ts) // 86400000000) // 7 AS week
+              FROM events
+            ),
+            cohort AS (
+              SELECT user_id, MIN(week) AS cohort_week FROM uw
+              GROUP BY user_id
+            ),
+            sizes AS (
+              SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM cohort GROUP BY cohort_week
+            ),
+            tri AS (
+              SELECT c.cohort_week, u.week - c.cohort_week AS offset_weeks,
+                     CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS n_active
+              FROM uw u JOIN cohort c ON c.user_id = u.user_id
+              GROUP BY 1, 2
+            )
+            SELECT t.cohort_week, t.offset_weeks, t.n_active, s.cohort_size,
+                   CAST(t.n_active AS DOUBLE) / s.cohort_size
+                     AS retained_ratio
+            FROM tri t JOIN sizes s ON s.cohort_week = t.cohort_week
+        """,
+        "event_transitions": """
+            WITH ordered AS (
+              SELECT user_id, event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                          ORDER BY epoch_us(ts), event_id) AS nxt
+              FROM events
+            ),
+            cnt AS (
+              SELECT event_type AS src, nxt AS dst,
+                     CAST(COUNT(*) AS BIGINT) AS n
+              FROM ordered WHERE nxt IS NOT NULL GROUP BY 1, 2
+            ),
+            totals AS (
+              SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM cnt GROUP BY src
+            )
+            SELECT c.src, c.dst, c.n,
+                   CAST(c.n AS DOUBLE) / t.n_src AS p
+            FROM cnt c JOIN totals t ON t.src = c.src
+        """,
+        "rolling_zscore": """
+            WITH base AS (
+              SELECT event_id, user_id, value,
+                     epoch_us(ts) AS tus,
+                     CAST(value AS DECIMAL(18,6)) AS vd
+              FROM events
+            ),
+            stats AS (
+              SELECT event_id, user_id, value,
+                     CAST(COUNT(*) OVER w AS BIGINT) AS n_prev,
+                     CAST(SUM(vd) OVER w AS DOUBLE) AS s1,
+                     CAST(SUM(vd * vd) OVER w AS DOUBLE) AS s2
+              FROM base
+              WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                           ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)
+            ),
+            scored AS (
+              SELECT event_id, user_id, value,
+                     (value - s1 / n_prev)
+                       / sqrt((s2 - s1 * s1 / n_prev) / n_prev) AS zscore
+              FROM stats WHERE n_prev >= 5
+            )
+            SELECT event_id, user_id, value, zscore,
+                   CAST(row_number() OVER (ORDER BY abs(zscore) DESC,
+                        event_id) AS INTEGER) AS z_rank
+            FROM scored WHERE zscore IS NOT NULL AND NOT isnan(zscore)
+            QUALIFY z_rank <= 20
+        """,
+        "cooccurrence_lift": f"""
+            WITH dt AS (
+              SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id, unnest({O.tokens("lower(text)")}) AS tok
+                    FROM documents)
+            ),
+            nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+            marg AS (
+              SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+              FROM dt GROUP BY tok
+            ),
+            pairs2 AS (
+              SELECT a.tok AS tok_a, b.tok AS tok_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_both
+              FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+              GROUP BY 1, 2 HAVING COUNT(*) >= 10
+            ),
+            scored AS (
+              SELECT tok_a, tok_b, n_both,
+                     ma.n_tok AS n_a, mb.n_tok AS n_b,
+                     CAST((n_both * nd.nd * 1000000) // (ma.n_tok * mb.n_tok)
+                          AS BIGINT) AS lift_q
+              FROM pairs2
+              JOIN marg ma ON ma.tok = pairs2.tok_a
+              JOIN marg mb ON mb.tok = pairs2.tok_b
+              CROSS JOIN nd
+            )
+            SELECT tok_a, tok_b, n_both, n_a, n_b, lift_q,
+                   CAST(row_number() OVER (ORDER BY lift_q DESC, tok_a,
+                        tok_b) AS INTEGER) AS lift_rank
+            FROM scored QUALIFY lift_rank <= 20
+        """,
         "gopher_rules": f"""
             WITH toks AS (
               SELECT doc_id, unnest({O.tokens('text')}) AS tok FROM documents
