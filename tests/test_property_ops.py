@@ -542,14 +542,21 @@ docs_strategy = st.lists(
 )
 
 
-@given(texts=docs_strategy)
+@given(
+    texts=docs_strategy,
+    # 0.8/0.7 are non-dyadic: their exact float ratio has a ~4.5e15
+    # numerator, the ADVICE-r4 BIGINT-wrap case the DECIMAL prefix_len
+    # now guards — exercising them pins zero-false-negatives for
+    # non-dyadic thresholds, not just t=0.5
+    t=st.sampled_from([0.5, 0.7, 0.8]),
+)
 @settings(**_SETTINGS)
-def test_prefix_filter_pairs_matches_bruteforce_jaccard(spark, texts):
+def test_prefix_filter_pairs_matches_bruteforce_jaccard(spark, texts, t):
     from hri_flink_pipeline_core_spark.operators.dedup import (
         prefix_filter_pairs,
     )
 
-    k, t = 2, 0.5
+    k = 2
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
     )
