@@ -1162,10 +1162,26 @@ def q_session_windows(spark, sf_dir):
 
 # --- relational extras ------------------------------------------------------
 
-def q_cube_agg(spark, sf_dir):
+def _finest_grain_li(spark, sf_dir):
+    """Shared base for the cube/rollup/grouping-sets family: ONE
+    partial-agg shuffle to the finest grouping (returnflag x linestatus,
+    ~6 rows), so the multi-grouping Expand runs over the tiny pre-agg
+    instead of multiplying the full fact table. Exact for algebraic
+    measures: counts re-sum, and the quantity sum stays DECIMAL through
+    both levels (cast to double only at the end — same value as the
+    single-level decimal sum)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_qty"),
+    )
+
+
+def q_cube_agg(spark, sf_dir):
+    base = _finest_grain_li(spark, sf_dir)
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_qty").cast("double").alias("sum_qty"),
     )
 
 
@@ -1202,17 +1218,21 @@ def q_analytic_window(spark, sf_dir):
 
 
 def q_rollup_agg(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty")
+    base = _finest_grain_li(spark, sf_dir)
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("_n").alias("n"),
+        F.sum("_qty").cast("double").alias("sum_qty"),
     )
 
 
 def q_grouping_sets_agg(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return li.groupingSets(
+    base = _finest_grain_li(spark, sf_dir)
+    return base.groupingSets(
         [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
-    ).agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("l_quantity")).alias("sum_qty"))
+    ).agg(
+        F.sum("_n").alias("n"),
+        F.sum("_qty").cast("double").alias("sum_qty"),
+    )
 
 
 def q_quantile_summary(spark, sf_dir):
@@ -2284,7 +2304,11 @@ def q_triangle_count(spark, sf_dir):
     pair graph, never the corpus. Edge lists are canonically a < b so
     each triangle (a<b<c) is counted exactly once."""
     docs = _tp(spark, sf_dir, "documents")
-    edges = D._persist(D.minhash_lsh_candidates(docs))
+    # localCheckpoint, not persist: the edge table re-enters the plan
+    # 5x with differing projections, and a flat LogicalRDD leaf keeps
+    # every downstream join's analysis/optimization off the deep
+    # candidate-generation tree (round-5 CC rationale)
+    edges = D.minhash_lsh_candidates(docs).localCheckpoint()
     ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     ac = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -2311,7 +2335,11 @@ def q_triangle_count_oriented(spark, sf_dir):
     `triangle_count`'s, cross-checking both algorithms) plus the
     max out-degree — the boundedness evidence itself."""
     docs = _tp(spark, sf_dir, "documents")
-    edges = D._persist(D.minhash_lsh_candidates(docs))
+    # localCheckpoint, not persist: the edge table re-enters the plan
+    # 5x with differing projections, and a flat LogicalRDD leaf keeps
+    # every downstream join's analysis/optimization off the deep
+    # candidate-generation tree (round-5 CC rationale)
+    edges = D.minhash_lsh_candidates(docs).localCheckpoint()
     deg = (
         edges.select(F.col("doc_a").alias("d"))
         .unionAll(edges.select(F.col("doc_b").alias("d")))
@@ -2327,13 +2355,11 @@ def q_triangle_count_oriented(spark, sf_dir):
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("doc_a") < F.col("doc_b"))
     )
-    oriented = D._persist(
-        e.select(
-            F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
-            F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
-            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-        )
-    )
+    oriented = e.select(
+        F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
+        F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
+    ).localCheckpoint()
     o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("dv1"))
     o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("dv2"))
     wedges = o1.join(o2, "u").filter(
@@ -3142,31 +3168,130 @@ def q_cooccurrence_lift(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER is deliberate: the driver's correctness harness has a
-    # per-round budget (50 keys/round in rounds 1-2) and walks this dict
-    # in order. Round-3 ordering, per VERDICT.md round 2 "Next round" #1
-    # and #8: (1) the 10 TPC-H keys that sat just past round 2's 50-key
-    # window and therefore have NO driver CORRECTNESS row yet (local
-    # DuckDB oracle green in tests/test_entry_queries.py); (2) keys whose
-    # implementation changed in round 3 (span-dedup shared-scan rewrite,
-    # ANN BLAS guard) so the changes get fresh driver rows; (3) the
-    # remaining round-2-verified keys; (4) round-1-verified keys last.
+    # per-round budget (50 keys/round observed in rounds 1-4) and walks
+    # this dict in order. Round-5 ordering, per VERDICT.md round 4
+    # "Next round" #5: (0) the 12 keys whose implementation or oracle
+    # changed in round 5 (distributed top-k rewrite, cooccurrence df
+    # band-pass, zscore var>0 guard, prefix-filter rewrite, kmv exact-leg
+    # rewrite, gopher/ann_sq oracle cleanups) so every change gets a
+    # fresh driver verdict; (1) the keys whose only driver row is from
+    # ROUND 1 — the stalest verdicts, re-checked before anything already
+    # green in r2/r4; (2) the six round-1 keys that don't fit the
+    # window (trivial unchanged relational plans); then (3) round-2 and
+    # (4) round-4 verified keys, freshest last.
     return {
-        # -- (0) NEW in round 4 (need their first driver verdict) --
-        "gopher_rules": q_gopher_rules,
+        # -- (0) touched in round 5 (distributed top-k / band-pass /
+        #    overflow-guard / oracle edits) — need fresh driver rows --
+        "prefix_filter_pairs": q_prefix_filter_pairs,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "rolling_zscore": q_rolling_zscore,
         "pmi_bigrams": q_pmi_bigrams,
-        "bloom_prune": q_bloom_prune,
         "countmin_heavy": q_countmin_heavy,
-        "dataset_split": q_dataset_split,
+        "bigram_topk": q_bigram_topk,
+        "vocab_coverage": q_vocab_coverage,
+        "skew_profile": q_skew_profile,
+        "kmv_set_ops": q_kmv_set_ops,
+        "gopher_rules": q_gopher_rules,
         "ann_sq_topk": q_ann_sq_topk,
         "ann_sq_recall": q_ann_sq_recall,
-        "prefix_filter_pairs": q_prefix_filter_pairs,
+        # -- (1) last driver-verified in ROUND 1 (oldest verdicts; 38 of
+        #    45 fit the 50-key window with section 0) --
+        "ann_recall": q_ann_recall,
+        "approx_percentile_binned": q_approx_percentile_binned,
+        "asof_latest_order": q_asof_latest_order,
+        "centroid_distances": q_centroid_distances,
+        "contamination_flag": q_contamination_flag,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_text": q_dedup_exact_text,
+        "doc_chunks": q_doc_chunks,
+        "doc_fingerprint": q_doc_fingerprint,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "interval_join_anchor_windows": q_interval_join_anchor_windows,
+        "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
+        "kmv_distinct": q_kmv_distinct,
+        "lang_id": q_lang_id,
+        "latest_per_key": q_latest_per_key,
+        "merge_upsert": q_merge_upsert,
+        "pagerank_domains": q_pagerank_domains,
+        "pareto_frontier": q_pareto_frontier,
+        "percentile_filter": q_percentile_filter,
+        "pii_redact": q_pii_redact,
+        "posting_lists": q_posting_lists,
+        "pricing_summary": q_pricing_summary,
+        "repetition_score": q_repetition_score,
+        "resample_ffill": q_resample_ffill,
+        "route_counts": q_route_counts,
+        "salted_join_skewed": q_salted_join_skewed,
+        "sink_table_roundtrip": q_sink_table_roundtrip,
+        "snapshot_diff": q_snapshot_diff,
+        "term_topk": q_term_topk,
+        "threshold_trigger": q_threshold_trigger,
+        "topk_per_key": q_topk_per_key,
+        "topp_select": q_topp_select,
+        "tracker_terminal": q_tracker_terminal,
+        "triangle_count": q_triangle_count,
+        "validation_invalid": q_validation_invalid,
+        "weighted_sample": q_weighted_sample,
+        "zorder_index": q_zorder_index,
+        # -- (2) remaining round-1 keys (trivial relational plans,
+        #    unchanged since r1, unit+hypothesis covered) — next window --
+        "filter_orders": q_filter_orders,
+        "project_net_price": q_project_net_price,
+        "count_by_key": q_count_by_key,
+        "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
+        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+        "join_broadcast_part": q_join_broadcast_part,
+        # -- (3) last driver-verified in round 2 --
+        "analytic_window": q_analytic_window,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "ann_recall_multiprobe": q_ann_recall_multiprobe,
+        "bucketed_join_colocated": q_bucketed_join_colocated,
+        "cosine_neardup": q_cosine_neardup,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "cube_agg": q_cube_agg,
+        "date_funcs": q_date_funcs,
+        "doc_rarity": q_doc_rarity,
+        "domain_mix": q_domain_mix,
+        "frame_sample": q_frame_sample,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "hash_sample": q_hash_sample,
+        "ivf_centroids": q_ivf_centroids,
+        "json_array_funcs": q_json_array_funcs,
+        "kmeans_refine": q_kmeans_refine,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
+        "media_blob_stats": q_media_blob_stats,
+        "media_decode_features": q_media_decode_features,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "pivot_agg": q_pivot_agg,
+        "quality_gate": q_quality_gate,
+        "quantile_summary": q_quantile_summary,
+        "range_frame_window": q_range_frame_window,
+        "rank_features": q_rank_features,
+        "rollup_agg": q_rollup_agg,
+        "sample_exact_per_stratum": q_sample_exact_per_stratum,
+        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
+        "scd2_intervals": q_scd2_intervals,
+        "sequence_pack": q_sequence_pack,
+        "session_windows": q_session_windows,
+        "set_ops": q_set_ops,
+        "simhash_pairs": q_simhash_pairs,
+        "stats_moments": q_stats_moments,
+        "stratified_sample": q_stratified_sample,
+        "string_funcs": q_string_funcs,
+        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
+        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "value_histogram": q_value_histogram,
+        "window_sliding": q_window_sliding,
+        "window_tumbling": q_window_tumbling,
+        # -- (4) driver-verified in round 4 (freshest) --
+        "bloom_prune": q_bloom_prune,
+        "dataset_split": q_dataset_split,
         "event_funnel": q_event_funnel,
         "retention_cohorts": q_retention_cohorts,
         "event_transitions": q_event_transitions,
-        "rolling_zscore": q_rolling_zscore,
-        "cooccurrence_lift": q_cooccurrence_lift,
-        # -- (1) the 10 keys with no driver verdict (positions 51-60 in
-        #    round 2's ordering) --
         "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
@@ -3177,26 +3302,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-        # -- (1b) new in round-3 continuation: incremental cross-corpus
-        #    dedup, SemDeDup prune, product-quantization ANN (build/
-        #    encode + ADC search), vocabulary coverage --
         "incremental_neardup": q_incremental_neardup,
         "semdedup_prune": q_semdedup_prune,
         "pq_code_histogram": q_pq_code_histogram,
         "ann_pq_adc": q_ann_pq_adc,
         "ann_pq_rerank": q_ann_pq_rerank,
         "ann_pq_recall": q_ann_pq_recall,
-        "vocab_coverage": q_vocab_coverage,
         "bpe_merges": q_bpe_merges,
         "media_exact_dedup": q_media_exact_dedup,
         "triangle_count_oriented": q_triangle_count_oriented,
         "zorder_manifest": q_zorder_manifest,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "kmv_set_ops": q_kmv_set_ops,
-        "skew_profile": q_skew_profile,
-        # -- (2) new in round 3 + implementations touched in round 3
-        #    (span shared-scan rewrite, window-df BM25/TF-IDF, hybrid
-        #    bucket_pairs consumers, quality-SQL refactor, BLAS guard) --
         "dedup_keep_best": q_dedup_keep_best,
         "shard_assignment": q_shard_assignment,
         "span_cut_text": q_span_cut_text,
@@ -3206,100 +3322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "containment_pairs": q_containment_pairs,
         "text_stats": q_text_stats,
-        # -- (3) round-2-verified keys (most recent green first) --
         "sessionize_events": q_sessionize_events,
         "bm25_topk": q_bm25_topk,
         "tfidf_topterms": q_tfidf_topterms,
         "winsorized_stats": q_winsorized_stats,
-        "quality_gate": q_quality_gate,
-        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
-        "ann_recall_multiprobe": q_ann_recall_multiprobe,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "ann_ivf_probe": q_ann_ivf_probe,
-        "ivf_centroids": q_ivf_centroids,
-        "kmeans_refine": q_kmeans_refine,
-        "cosine_neardup": q_cosine_neardup,
-        "cosine_neardup_lsh": q_cosine_neardup_lsh,
-        "lsh_bucket_counts": q_lsh_bucket_counts,
-        "bucketed_join_colocated": q_bucketed_join_colocated,
-        "media_blob_stats": q_media_blob_stats,
-        "media_decode_features": q_media_decode_features,
-        "frame_sample": q_frame_sample,
-        "hash_sample": q_hash_sample,
-        "stratified_sample": q_stratified_sample,
-        "sample_exact_per_stratum": q_sample_exact_per_stratum,
-        "sequence_pack": q_sequence_pack,
-        "domain_mix": q_domain_mix,
-        "window_tumbling": q_window_tumbling,
-        "window_sliding": q_window_sliding,
-        "session_windows": q_session_windows,
-        "cube_agg": q_cube_agg,
-        "rollup_agg": q_rollup_agg,
-        "grouping_sets_agg": q_grouping_sets_agg,
-        "pivot_agg": q_pivot_agg,
-        "set_ops": q_set_ops,
-        "analytic_window": q_analytic_window,
-        "range_frame_window": q_range_frame_window,
-        "rank_features": q_rank_features,
-        "quantile_summary": q_quantile_summary,
-        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
-        "scd2_intervals": q_scd2_intervals,
-        "value_histogram": q_value_histogram,
-        "stats_moments": q_stats_moments,
-        "doc_rarity": q_doc_rarity,
-        "json_array_funcs": q_json_array_funcs,
-        "string_funcs": q_string_funcs,
-        "date_funcs": q_date_funcs,
-        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
-        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        # -- (4) driver-verified green in round 1 --
-        "pricing_summary": q_pricing_summary,
-        "pagerank_domains": q_pagerank_domains,
-        "contamination_flag": q_contamination_flag,
-        "repetition_score": q_repetition_score,
-        "posting_lists": q_posting_lists,
-        "percentile_filter": q_percentile_filter,
-        "topp_select": q_topp_select,
-        "triangle_count": q_triangle_count,
-        "zorder_index": q_zorder_index,
-        "weighted_sample": q_weighted_sample,
-        "curation_pipeline": q_curation_pipeline,
-        "approx_percentile_binned": q_approx_percentile_binned,
-        "pareto_frontier": q_pareto_frontier,
-        "ann_recall": q_ann_recall,
-        "bigram_topk": q_bigram_topk,
-        "merge_upsert": q_merge_upsert,
-        "snapshot_diff": q_snapshot_diff,
-        "pii_redact": q_pii_redact,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "asof_latest_order": q_asof_latest_order,
-        "interval_join_anchor_windows": q_interval_join_anchor_windows,
-        "sink_table_roundtrip": q_sink_table_roundtrip,
-        "filter_orders": q_filter_orders,
-        "project_net_price": q_project_net_price,
-        "join_broadcast_part": q_join_broadcast_part,
-        "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
-        "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
-        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
-        "count_by_key": q_count_by_key,
-        "threshold_trigger": q_threshold_trigger,
-        "latest_per_key": q_latest_per_key,
-        "topk_per_key": q_topk_per_key,
-        "dedup_exact": q_dedup_exact,
-        "route_counts": q_route_counts,
-        "validation_invalid": q_validation_invalid,
-        "tracker_terminal": q_tracker_terminal,
-        "lang_id": q_lang_id,
-        "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact_text": q_dedup_exact_text,
-        "term_topk": q_term_topk,
-        "kmv_distinct": q_kmv_distinct,
-        "centroid_distances": q_centroid_distances,
-        "salted_join_skewed": q_salted_join_skewed,
-        "resample_ffill": q_resample_ffill,
-        "doc_chunks": q_doc_chunks,
     }
 
 

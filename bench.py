@@ -12,39 +12,57 @@ of stdout still gets one whole parseable JSON line (the 109-entry full
 line overflowed the round-2 capture window). The full per-query map is
 also written to bench_full.json next to this script.
 
+CHUNKED ISOLATION (round 5). Round 4's bench regressed +18% on the
+125-query common subset with unchanged code for most of it, spread
+~+0.5 s across dozens of queries — the signature of SUITE-LENGTH JVM
+pressure (one JVM accumulating codegen-cache entries, broadcast/shuffle
+cleanup backlog and old-gen heap across 3x138 query executions), not of
+any single plan change. The fix is structural: the suite now runs as
+CHUNKS of $SPARK_GRAFT_BENCH_CHUNK (default 23) queries, each chunk in
+its OWN subprocess with a fresh JVM. Within a chunk the methodology is
+unchanged (warm-up pass at the bench SF, then two cold-cache timed
+passes, per-query min, settle() between every execution), so per-query
+numbers stay comparable with rounds 1-4; what changes is that no query
+ever runs in a JVM older than ~3x23 executions. JVM startup and the
+warm-up pass stay outside every timed window. Set
+SPARK_GRAFT_BENCH_CHUNK=0 to run the old single-JVM sweep (used to
+measure the isolation delta itself — see BASELINE.md §(c) round 5).
+
 Each query is timed end-to-end (plan + execute + full materialization),
-after a warm-up pass that pays the one-time session/JIT costs.
+after a warm-up pass that pays the one-time session/JIT costs. Warming
+at the bench SF (not a smaller one) matters: AQE picks different
+physical plans at different input sizes, so the sf0.1 plans'
+whole-stage-codegen compilation would otherwise land inside the timed
+window; DuckDB (the baseline) has no compile step to amortize, so
+steady-state is the apples-to-apples comparison.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CHUNK = int(os.environ.get("SPARK_GRAFT_BENCH_CHUNK", "23"))
 
 
-def main() -> int:
+def _run_names(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
+    """Warm + twice-timed cold-cache sweep of the given queries in THIS
+    process's SparkSession. Returns (timings, errors)."""
     from hri_flink_pipeline_core_spark.session import get_spark
 
     import __spark_entry__ as entry
 
     spark = get_spark("hri-bench", cpus=CPUS)
+    queries = {n: f for n, f in entry.queries().items() if n in set(names)}
 
-    queries = entry.queries()
-
-    # Warm-up pass: run the whole suite once at the BENCH scale factor so
-    # the timed loop reports steady-state per-query cost. Warming at a
-    # smaller SF is not enough: AQE picks different physical plans at
-    # different input sizes (broadcast vs shuffle joins, aggregate modes),
-    # so the sf0.1 plans' whole-stage-codegen compilation (~1-2 s for the
-    # widest aggregate plans) would land inside the timed window. DuckDB
-    # (the baseline) has no compile step to amortize, so steady-state is
-    # the apples-to-apples comparison; the one-time compile cost is a
-    # per-session constant, not a per-query cost, at any scale.
+    # Warm-up pass at the bench SF: pays session/JIT/codegen costs and
+    # lets AQE settle on the at-SF physical plans before timing.
     if os.path.isdir(SF_DIR):
         for fn in queries.values():
             try:
@@ -54,11 +72,9 @@ def main() -> int:
 
     # Several queries .persist() intermediates (BM25 tf, LSH bucket
     # members, span shingle rows). Spark's CacheManager matches identical
-    # logical plans, so without this the timed pass would silently reuse
-    # the InMemoryRelations materialized during warm-up and measure
-    # cache-hit re-execution while the DuckDB baseline runs cold. Clear
-    # once here AND before each timed query (queries also share persisted
-    # subtrees with each other, e.g. duplicate_spans / span_cut_text).
+    # logical plans, so without clearing, the timed pass would silently
+    # reuse warm-up's InMemoryRelations and measure cache-hit
+    # re-execution while the DuckDB baseline runs cold.
     spark.catalog.clearCache()
 
     import gc
@@ -69,9 +85,6 @@ def main() -> int:
         this, a heavy predecessor's cleanup bleeds into the next query's
         timing (single-run spikes of 5-10x were observed on queries that
         measure ~0.5 s isolated)."""
-        # release the operator-tracked persists FIRST so the registry's
-        # strong refs (dedup/graph internals) don't pin plan objects for
-        # the whole 3x111-execution sweep
         from hri_flink_pipeline_core_spark.operators.cache import (
             release_persisted_intermediates,
         )
@@ -114,6 +127,70 @@ def main() -> int:
             except Exception as exc:  # noqa: BLE001 - per-query fault isolation
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# p{pass_i} {name}: ERR {errors[name]}", file=sys.stderr)
+    return timings, errors
+
+
+def _child(out_path: str, names_csv: str) -> int:
+    timings, errors = _run_names(names_csv.split(","))
+    with open(out_path, "w") as f:
+        json.dump({"timings": timings, "errors": errors}, f)
+    return 0
+
+
+def main() -> int:
+    import __spark_entry__ as entry
+
+    all_names = list(entry.queries())
+
+    if CHUNK <= 0:
+        # legacy single-JVM sweep (isolation-delta measurements only)
+        timings, errors = _run_names(all_names)
+    else:
+        timings, errors = {}, {}
+        chunks = [
+            all_names[i : i + CHUNK] for i in range(0, len(all_names), CHUNK)
+        ]
+        for ci, names in enumerate(chunks):
+            with tempfile.NamedTemporaryFile(
+                mode="r", suffix=".json", delete=False
+            ) as tf:
+                out_path = tf.name
+            print(
+                f"# chunk {ci + 1}/{len(chunks)}: {len(names)} queries,"
+                " fresh JVM",
+                file=sys.stderr,
+            )
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.abspath(__file__),
+                        "--child",
+                        out_path,
+                        ",".join(names),
+                    ],
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                    timeout=3600,
+                )
+                with open(out_path) as f:
+                    part = json.load(f)
+                timings.update(part["timings"])
+                errors.update(part["errors"])
+                if proc.returncode != 0:
+                    for n in names:
+                        if n not in timings and n not in errors:
+                            errors[n] = f"chunk exited rc={proc.returncode}"
+            except Exception as exc:  # noqa: BLE001 - chunk fault isolation
+                for n in names:
+                    if n not in timings:
+                        errors[n] = f"chunk failed: {type(exc).__name__}: {exc}"[
+                            :500
+                        ]
+            finally:
+                try:
+                    os.unlink(out_path)
+                except OSError:
+                    pass
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     out = {
@@ -129,8 +206,9 @@ def main() -> int:
     # a file next to this script (always whole).
     print(json.dumps(out))
     try:
-        full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "bench_full.json")
+        full_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_full.json"
+        )
         with open(full_path, "w") as f:
             json.dump(out, f, indent=1)
     except OSError:
@@ -152,4 +230,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--child":
+        raise SystemExit(_child(sys.argv[2], sys.argv[3]))
     raise SystemExit(main())

@@ -131,12 +131,19 @@ def minhash_signatures(
     interpreted lambdas. Docs with no tokens get a null signature
     (left join), matching array_min over an empty array."""
     rows = shingle_hash_rows(df, text_col, id_col, k)
+    # SQL-string aggregates (one F.expr parse per permutation) instead
+    # of per-term Column arithmetic: same plan, same values, ~4x less
+    # py4j plan-construction time (the round-5 simhash_table rationale —
+    # this builder sits under 7 queries' plans)
     mins = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"_m{i}")
+        F.expr(f"min(({a} * h + {b}) % {HASH_P}) AS _m{i}")
         for i, (a, b) in enumerate(perms)
     ]
     sigs = rows.groupBy("doc_id").agg(*mins).select(
-        "doc_id", F.array(*[f"_m{i}" for i in range(len(perms))]).alias("sig")
+        "doc_id",
+        F.expr(
+            "array(" + ", ".join(f"_m{i}" for i in range(len(perms))) + ") AS sig"
+        ),
     )
     ids = df.select(F.col(id_col).alias("doc_id"))
     return ids.join(sigs, "doc_id", "left")
@@ -384,20 +391,24 @@ def simhash_table(
     values as the per-row ``simhash`` column. Docs with no tokens get
     sh=0 (coalesce), matching the fold's zero accumulator."""
     rows = token_hash_rows(df, text_col, id_col)
+    # The 60 vote aggregates and the 60-term reassembly are built as SQL
+    # strings (one F.expr parse each) rather than per-term Column
+    # arithmetic: the Column form costs ~360 py4j round trips and ~1.9 s
+    # of pure plan-construction time PER CALL — 8x the expr form's —
+    # with bit-identical values (measured round 5; the driver and bench
+    # both time construction, and a production job pays it once per
+    # submit, so this is free scale-side and large locally).
     votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(2**i).cast("bigint")) != 0, 1).otherwise(-1)
-        ).alias(f"_v{i}")
+        F.expr(f"sum(CASE WHEN (h & {2**i}) != 0 THEN 1 ELSE -1 END) AS _v{i}")
         for i in range(bits)
     ]
     agged = rows.groupBy("doc_id").agg(*votes)
-    sh = None
-    for i in range(bits):
-        term = F.when(F.col(f"_v{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sh = term if sh is None else sh + term
-    sigs = agged.select("doc_id", sh.alias("sh"))
+    sh_sql = " + ".join(
+        f"(CASE WHEN _v{i} > 0 THEN CAST({2**i} AS BIGINT)"
+        " ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    sigs = agged.select("doc_id", F.expr(f"({sh_sql}) AS sh"))
     ids = df.select(F.col(id_col).alias("doc_id"))
     return ids.join(sigs, "doc_id", "left").select(
         "doc_id", F.coalesce("sh", F.lit(0).cast("bigint")).alias("sh")
@@ -646,9 +657,17 @@ def connected_components(
     Generalizes the reference's exact-dedup surface (SURVEY §2.16
     `dedup`); no reference counterpart (clusters, not just pairs).
     """
-    # edges re-enters the plan once per iteration; persisting truncates the
-    # (corpus-scale) pair-generation lineage to a single evaluation. The
-    # edge set is small by construction (near-dup pairs only).
+    # edges re-enters the plan once per iteration; localCheckpoint (not
+    # merely persist) truncates the (corpus-scale) pair-generation
+    # lineage to a single evaluation AND flattens the LOGICAL plan to a
+    # leaf: a persist caches execution but Catalyst still re-walks the
+    # full candidate-generation tree at every loop join, which at 3+
+    # iterations dominates wall time (measured round 5: 4.7 s -> 2.5 s
+    # end-to-end on the sf0.1 candidate graph from this one change).
+    # The edge set is small by construction (near-dup pairs only), so
+    # materialization is free; production clusters wanting
+    # executor-loss resilience swap in reliable checkpoint(), same
+    # shape.
     #
     # Iteration shape: SELF-LOOPS are added once, so each round is ONE
     # join + ONE partial-agg groupBy — labels(v) := min over {v} ∪ N(v)
@@ -666,10 +685,13 @@ def connected_components(
         .distinct()
     )
     verts = und.select("src").distinct()
-    edges = _persist(
-        und.unionByName(verts.select("src", F.col("src").alias("dst")))
-    )
-    labels = verts.select(
+    edges = und.unionByName(
+        verts.select("src", F.col("src").alias("dst"))
+    ).localCheckpoint()
+    # seed labels from the CHECKPOINTED edges (every vertex has a
+    # self-loop), not from `verts` — referencing verts would drag the
+    # full candidate-generation tree back into every loop join
+    labels = edges.select("src").distinct().select(
         F.col("src").alias("doc_id"), F.col("src").alias("cluster_id")
     )
     for _ in range(iterations):
@@ -1083,8 +1105,10 @@ def prefix_filter_pairs(
         )
         + 1
     )
-    prefix = sized.filter(F.col("pos") <= prefix_len).select(
-        "doc_id", "shingle"
+    # prefix feeds BOTH sides of the candidate self-join — persist so
+    # the df join + per-doc windows run once, not once per side
+    prefix = _persist(
+        sized.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
     )
     cand = _persist(
         prefix.alias("a")
