@@ -316,7 +316,12 @@ def ngram_jaccard_pairs(
     # LSH), via a broadcast semi-join on the bare id column
     # candidates feeds three consumers (cand_ids + the final double join);
     # persist so its (possibly expensive LSH) lineage runs once (tracked).
-    candidates = _persist(candidates)
+    # localCheckpoint, not persist: the candidate table is consumed
+    # three times (id union + two verify joins) and its generation plan
+    # is deep (LSH pipeline) — a flat leaf keeps every downstream
+    # join's analysis off that tree (round-5 CC rationale); the pair
+    # set is tiny by construction
+    candidates = candidates.localCheckpoint()
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -925,11 +930,12 @@ def crosscorpus_verdicts(
     shingle sets across batches; without ``ref_sets`` the verification
     leg reads the reference table once, column-pruned and semi-joined
     down to candidate ids."""
-    cands = _persist(
-        crosscorpus_candidates(
-            new_df, ref_df, text_col, id_col, k, max_bucket, ref_banded
-        )
-    )
+    # localCheckpoint, not persist: consumed four times (two id unions +
+    # the verify join + downstream agg) over a deep LSH generation plan
+    # (round-5 CC rationale); the candidate set is small by construction
+    cands = crosscorpus_candidates(
+        new_df, ref_df, text_col, id_col, k, max_bucket, ref_banded
+    ).localCheckpoint()
     a_ids = cands.select(F.col("doc_a").alias("doc_id")).distinct()
     sets_a = (
         shingle_sets(new_df, text_col, id_col, k)
@@ -1008,7 +1014,12 @@ def containment_pairs(
     ngram_jaccard_pairs: shingle sets built only for candidate docs
     (broadcast semi-join), pair work bounded by the LSH candidate set.
     Integer set sizes -> exact double ratio, cross-engine safe."""
-    candidates = _persist(candidates)
+    # localCheckpoint, not persist: the candidate table is consumed
+    # three times (id union + two verify joins) and its generation plan
+    # is deep (LSH pipeline) — a flat leaf keeps every downstream
+    # join's analysis off that tree (round-5 CC rationale); the pair
+    # set is tiny by construction
+    candidates = candidates.localCheckpoint()
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))

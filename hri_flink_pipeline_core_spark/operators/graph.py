@@ -52,16 +52,21 @@ def pagerank(
     convergence alternative (iterate until delta < eps) is the same
     loop with a driver-side stopping check on an aggregated delta.
     """
-    from .cache import tracked_persist as _persist
-
+    # localCheckpoint (not persist) for every loop-referenced table:
+    # persist caches execution but Catalyst still re-walks the full
+    # edge-construction tree at each iteration's joins; flat LogicalRDD
+    # leaves keep per-round analysis O(round) instead of O(history)
+    # (round-5 CC rationale; reliable checkpoint() is the
+    # executor-loss-resilient swap-in at cluster scale).
     edges = edges.select("src", "dst").distinct()
-    nodes = _persist(
+    nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
-    ed = _persist(edges.join(outdeg, "src"))
+    ed = edges.join(outdeg, "src").localCheckpoint()
 
     rank = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(iterations):
@@ -85,5 +90,5 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-        rank = _persist(rank)
+        rank = rank.localCheckpoint()
     return rank.select("node", F.col("pr").alias("pagerank"))

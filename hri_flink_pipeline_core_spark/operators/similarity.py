@@ -750,15 +750,16 @@ def kmeans_lloyd(
     then a final assignment against the refined centroids. Returns the
     final (vec_id, cluster).
 
-    Iterative DataFrame algorithms grow a linear plan per round; for the
-    handful of k-means rounds that matters this is fine (each round is
-    broadcast-join + one partial-agg shuffle). For many rounds,
-    checkpoint/localCheckpoint the centroid DF to cut lineage — k rows,
-    so materialization is free."""
+    Each round's centroid table is localCheckpoint-ed (k rows —
+    materialization is free): without the flat leaf the final
+    assignment's plan nests every previous round's corpus join, so
+    Catalyst re-analyzes and re-executes the whole history inside one
+    job (round-5 CC rationale; reliable checkpoint() is the
+    executor-loss-resilient swap-in for long refinements)."""
     centroids = init_centroids
     for _ in range(iters):
         assigned = kmeans_assign(df, centroids, vec_id, vec_col)
-        centroids = kmeans_quantized_update(assigned)
+        centroids = kmeans_quantized_update(assigned).localCheckpoint()
     return kmeans_assign(df, centroids, vec_id, vec_col).select("vec_id", "cluster")
 
 

@@ -117,12 +117,15 @@ def test_tpch_q6_is_scan_plus_agg_only(spark, sf001):
     assert "PushedFilters" in full and "l_shipdate" in full.split("PushedFilters")[1][:300]
 
 
-def test_dedup_clusters_reuses_persisted_edges(spark, sf001):
-    """The CC iterations must read the persisted pair graph, not re-run
-    the MinHash pipeline per iteration."""
+def test_dedup_clusters_reuses_materialized_edges(spark, sf001):
+    """The CC iterations must read the materialized pair graph
+    (localCheckpoint -> LogicalRDD leaf since round 5), not re-run the
+    MinHash pipeline per iteration: the plan contains the checkpointed
+    RDD scan and NO parquet scan of the corpus."""
     df = entry.q_dedup_clusters(spark, sf001)
     plan = plan_of(df, mode="simple")
-    assert "InMemoryTableScan" in plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_term_topk_has_partial_aggregation(spark, sf001):
@@ -238,13 +241,15 @@ def test_weighted_sample_max_is_broadcast(spark, sf001):
     assert "SortMergeJoin" not in plan
 
 
-def test_triangle_count_reuses_persisted_edges(spark, sf001):
+def test_triangle_count_reuses_materialized_edges(spark, sf001):
     """The candidate-edge build (full LSH lineage) must run once: all
     five consumers (3 triangle sides, edge count, node count) read the
-    persisted edge table."""
+    localCheckpoint-ed edge table (flat LogicalRDD since round 5), and
+    no corpus parquet scan remains in the plan."""
     df = entry.q_triangle_count(spark, sf001)
     plan = plan_of(df, mode="simple")
-    assert plan.count("InMemoryTableScan") >= 5
+    assert plan.count("Scan ExistingRDD") >= 5
+    assert "Scan parquet" not in plan
 
 
 def test_posting_lists_partial_aggregates(spark, sf001):
