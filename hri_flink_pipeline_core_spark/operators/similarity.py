@@ -663,7 +663,11 @@ def ann_pq_adc(
     integer-sum aggregate keyed (query, vec) and a final per-query
     top-k. Approximation error comes from quantization only — measured
     against ann_topk the same way ann_recall measures IVF."""
-    books = pq_codebooks(corpus, label_col, vec_col)
+    # localCheckpoint the tiny codebook (subspaces x k rows): it feeds
+    # BOTH the corpus encode and the query LUT, and a flat leaf keeps
+    # their joins' analysis off the per-subspace mean-aggregation tree
+    # (round-5 lineage-flattening rationale)
+    books = pq_codebooks(corpus, label_col, vec_col).localCheckpoint()
     codes = pq_encode(corpus, books, corpus_id, vec_col)
     q_sv = _subvectors(queries, query_id, vec_col, "query_id")
     lut = q_sv.join(F.broadcast(books), "sub").select(

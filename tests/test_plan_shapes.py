@@ -545,3 +545,20 @@ def test_prefix_filter_single_corpus_explode(spark, sf001):
 
     for m in re.finditer(r"\(\d+\) Window\nInput[^\n]*\nArguments: ([^\n]*)", plan):
         assert "windowspecdefinition(doc_id" in m.group(1), m.group(1)[:120]
+
+
+@pytest.mark.parametrize(
+    "qname, n_rdd_scans",
+    [("pagerank_domains", 1), ("kmeans_refine", 1), ("incremental_neardup", 1)],
+)
+def test_iterative_queries_have_flat_checkpointed_leaves(
+    spark, sf001, qname, n_rdd_scans
+):
+    """Round-5 lineage flattening: iterative operators (pagerank rounds,
+    kmeans centroid refinement, cross-corpus candidate verify) read
+    their loop-carried tables from localCheckpoint-ed LogicalRDD leaves
+    — Catalyst must not re-walk (or re-execute) the generation tree at
+    each round's joins."""
+    df = entry.queries()[qname](spark, sf001)
+    plan = plan_of(df, mode="simple")
+    assert plan.count("Scan ExistingRDD") >= n_rdd_scans
