@@ -786,17 +786,15 @@ def q_kmv_set_ops(spark, sf_dir):
     ground truth; production would drop them)."""
     from pyspark.sql import Window as SW
 
-    from hri_flink_pipeline_core_spark.operators.cache import tracked_persist
-
     docs = _tp(spark, sf_dir, "documents")
-    # (lang, gram) feeds FOUR consumers (both sketch sides + both exact
-    # sides); persist the vocabulary-keyed distinct so the corpus
-    # explode runs once.
-    grams = tracked_persist(
-        docs.select(
-            "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("g")
-        ).distinct()
-    )
+    # (lang, gram) feeds the sketch chain AND the exact legs;
+    # localCheckpoint (not persist) so the corpus explode runs once AND
+    # every downstream join/window analyzes a flat leaf instead of
+    # re-walking the explode tree (round-5 rationale; measured
+    # 3.6-4.5 s -> 2.7-2.9 s end-to-end at sf0.1)
+    grams = docs.select(
+        "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("g")
+    ).distinct().localCheckpoint()
     gh = grams.select("lang", TX.hash60(F.col("g")).alias("h")).distinct()
     w = SW.partitionBy("lang").orderBy("h")
     sk = (

@@ -492,12 +492,13 @@ def duplicate_spans(
     assembly is the sessionize pattern (lag + running sum) sharing ONE
     doc-keyed window partitioning. No pair materialization anywhere —
     cost scales with duplicated-position count, not doc pairs."""
-    # persisted (tracked): consumed twice (df-count aggregate +
-    # membership join); without it the shingle explode + md5 lineage runs
-    # per consumer. At corpus scale this is a MEMORY_AND_DISK spill of
-    # (doc, pos, h) rows — the recompute-vs-spill tradeoff documented in
-    # SCALING.md.
-    sh = _persist(shingle_hash_rows(df, text_col, id_col, k, with_pos=True))
+    # localCheckpoint (consumed twice: df-count aggregate + membership
+    # join): materializes the shingle explode + md5 lineage once AND
+    # flattens the logical plan so both consumers' joins analyze a leaf
+    # (round-5 rationale). At corpus scale this is the same
+    # spill-vs-recompute tradeoff as a MEMORY_AND_DISK persist of
+    # (doc, pos, h) rows, documented in SCALING.md.
+    sh = shingle_hash_rows(df, text_col, id_col, k, with_pos=True).localCheckpoint()
     return _spans_from_hits(_dup_shingle_hits(sh, min_docs))
 
 
@@ -594,17 +595,18 @@ def span_cut_text(
     shingle = F.concat_ws(
         " ", *[F.get(F.col("_toks"), F.col("tpos") + F.lit(off)) for off in range(k)]
     )
-    tok_sh = _persist(
-        exploded.select(
-            "doc_id",
-            "tpos",
-            "token",
-            F.when(
-                F.col("tpos") <= F.greatest(F.col("_n") - k, F.lit(0)),
-                hash32(shingle),
-            ).alias("h"),
-        )
-    )
+    # localCheckpoint: the token/shingle stream feeds span detection AND
+    # the cut's anti-join — one materialization, flat leaf for both
+    # consumers (round-5 rationale)
+    tok_sh = exploded.select(
+        "doc_id",
+        "tpos",
+        "token",
+        F.when(
+            F.col("tpos") <= F.greatest(F.col("_n") - k, F.lit(0)),
+            hash32(shingle),
+        ).alias("h"),
+    ).localCheckpoint()
     sh = tok_sh.filter(F.col("h").isNotNull()).select(
         "doc_id", F.col("tpos").alias("pos"), "h"
     )

@@ -305,15 +305,13 @@ def test_duplicate_spans_single_window_partitioning(spark, sf001):
 def test_span_cut_single_corpus_explode(spark, sf001):
     """span_cut_text must derive BOTH the shingle-hash stream (span
     detection) and the token stream (the cut's anti-join) from ONE
-    persisted corpus explode: every posexplode Generate in the plan is
-    the cached table's lineage replay under an InMemoryTableScan — none
-    standalone — so the explode physically executes once to populate the
-    cache and all three consumers read it."""
+    materialized corpus explode (localCheckpoint -> flat LogicalRDD
+    leaf since round 5): no posexplode Generate remains anywhere in the
+    plan — the explode executed exactly once at checkpoint time and all
+    three consumers read the checkpointed rows."""
     plan = plan_of(entry.q_span_cut_text(spark, sf001), mode="simple")
-    n_explode = plan.count("Generate posexplode")
-    n_cached = plan.count("InMemoryTableScan")
-    assert n_cached >= 3  # dup-shingle agg + membership semi-join + tokens
-    assert n_explode <= n_cached  # no uncached corpus explode remains
+    assert plan.count("Generate posexplode") == 0
+    assert plan.count("Scan ExistingRDD") >= 3
 
 
 def test_winsorized_bounds_are_broadcast(spark, sf001):
@@ -411,7 +409,10 @@ def test_kmv_set_ops_sketch_joins_are_small(spark, sf001):
     plan = plan_of(entry.q_kmv_set_ops(spark, sf001), mode="simple")
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
-    assert "InMemoryTableScan" in plan  # the 4-consumer gram persist
+    # the multi-consumer gram table is a checkpointed flat leaf
+    # (round 5); the corpus explode never appears in this plan
+    assert "Scan ExistingRDD" in plan
+    assert "Scan parquet" not in plan
 
 
 def test_bloom_prune_bits_are_broadcast_and_fact_never_width_shuffles(
