@@ -220,7 +220,11 @@ def bucket_pairs(
             F.ceil(F.col("_n") / F.lit(small_cap)).cast("int"), F.lit(1)
         ),
     ).drop("_n")
-    member = _persist(member)
+    # localCheckpoint: consumed by both join sides (differing
+    # projections defeat ReuseExchange) over the expensive signature
+    # lineage; the flat leaf also keeps both sides' analysis off that
+    # tree (round-5 rationale)
+    member = member.localCheckpoint()
 
     first = fields[0]
     cell = F.pmod(F.xxhash64(F.col(first)), F.col("_g")).cast("int")
@@ -256,7 +260,10 @@ def minhash_banded_rows(
     explode: downstream consumers (bucket-count aggregate + join side)
     each re-enter the plan, and without the persist the whole
     shingle->minhash pipeline runs once per consumer."""
-    banded = _persist(minhash_signatures(df, text_col, id_col, k))
+    # flat-leaf materialization of the per-doc signature table (one
+    # skinny row per doc) — the shingle->minhash pipeline runs once and
+    # every downstream consumer analyzes a leaf (round-5 rationale)
+    banded = minhash_signatures(df, text_col, id_col, k).localCheckpoint()
     band_cols = minhash_bands(F.col("sig"))
     return banded.select(
         "doc_id",
@@ -430,7 +437,7 @@ def simhash_neardup_pairs(
     4 x 15-bit chunks (one shuffle), then exact bit_count(xor) verify.
     The per-doc signature table persists (tracked) so the token-explode
     + 60-vote pipeline runs once, not once per bucket_pairs consumer."""
-    based = _persist(simhash_table(df, text_col, id_col))
+    based = simhash_table(df, text_col, id_col).localCheckpoint()
     chunks = simhash_chunks(F.col("sh"))
     exploded = based.select(
         "doc_id",
@@ -1090,10 +1097,11 @@ def prefix_filter_pairs(
     assert 0.0 < threshold <= 1.0
     # distinct shingle rows feed the df count, the prefix build, and the
     # verifier join — persist once (tracked).
-    rows = _persist(
+    rows = (
         shingle_str_rows(df, text_col, id_col, k)
         .select("doc_id", "shingle")
         .distinct()
+        .localCheckpoint()
     )
     dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = rows.join(dfreq, "shingle").select("doc_id", "shingle", "df")
@@ -1120,10 +1128,10 @@ def prefix_filter_pairs(
     )
     # prefix feeds BOTH sides of the candidate self-join — persist so
     # the df join + per-doc windows run once, not once per side
-    prefix = _persist(
-        sized.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
-    )
-    cand = _persist(
+    prefix = sized.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "shingle"
+    ).localCheckpoint()
+    cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -1131,7 +1139,7 @@ def prefix_filter_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-    )
+    ).localCheckpoint()
     # exact-Jaccard verification straight from the persisted shingle
     # rows: rebuild candidate docs' shingle SETS with a broadcast
     # semi-join + collect_set instead of re-exploding the corpus text

@@ -539,8 +539,12 @@ def test_prefix_filter_single_corpus_explode(spark, sf001):
     vocabulary exists (the only Windows are doc_id-partitioned)."""
     df = entry.queries()["prefix_filter_pairs"](spark, sf001)
     plan = plan_of(df, mode="formatted")
-    assert plan.count("documents.parquet") == 1
-    assert "InMemoryTableScan" in plan
+    # since the localCheckpoint sweep, the shingle rows / prefix /
+    # candidate tables are flat LogicalRDD leaves: the corpus text is
+    # never re-read in the final plan (the one explode ran at checkpoint
+    # time), and every consumer reads a checkpointed leaf
+    assert plan.count("documents.parquet") == 0
+    assert "Scan ExistingRDD" in plan
     # no unpartitioned window anywhere: every windowspec partitions
     import re
 
