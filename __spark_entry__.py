@@ -437,11 +437,12 @@ def q_vocab_coverage(spark, sf_dir):
     grams = docs.select(
         F.explode(TX.shingles(F.col("text"), 3)).alias("g")
     )
-    # counts feeds BOTH the ranking and the scalar total; persist the
-    # (vocabulary-sized, tiny) aggregate so the corpus explode runs once.
-    counts = tracked_persist(
-        grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # counts feeds BOTH the ranking and the scalar total; checkpoint the
+    # (vocabulary-sized, tiny) aggregate so the corpus explode runs once
+    # and both consumers analyze a flat leaf (round-5 rationale).
+    counts = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt")
+    ).localCheckpoint()
     # the join below only consumes rnk <= max(checkpoint): rank the
     # distributed top-10k only, not the whole vocabulary
     ranked = _topk_ranked(
@@ -1942,11 +1943,9 @@ def q_centroid_distances(spark, sf_dir):
     per-label centroids — the centroid self-join is k x k (tiny), so the
     corpus-scale mean computation is persisted and runs once."""
     emb = _tp(spark, sf_dir, "embeddings")
-    cents = D._persist(
-        S.kmeans_quantized_update(
-            emb.select(F.col("label").alias("cluster"), F.col("embedding").alias("_vec"))
-        )
-    )
+    cents = S.kmeans_quantized_update(
+        emb.select(F.col("label").alias("cluster"), F.col("embedding").alias("_vec"))
+    ).localCheckpoint()
     a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("_ca"))
     b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("_cb"))
     return (

@@ -504,18 +504,15 @@ def semdedup_prune(
     100 TB you'd subdivide hot clusters exactly like dedup.bucket_pairs
     (same grid-salt pattern applies; cluster counts here are k-bounded).
     """
-    from .cache import tracked_persist as _persist
-
     assigned = kmeans_assign(df, ivf_centroids(df, label_col, vec_col), id_col, vec_col)
     # consumed three times (both pair-join sides + the survivor flag
-    # join); persisted (tracked) so the centroid-build + assignment
-    # subtree runs once — at corpus scale this is the standard
-    # recompute-vs-spill call documented in SCALING.md.
-    members = _persist(
-        assigned.select(
-            F.col("vec_id"), F.col("cluster"), F.col("_vec").alias("embedding")
-        )
-    )
+    # join); localCheckpoint-ed so the centroid-build + assignment
+    # subtree runs once AND every consumer analyzes a flat leaf
+    # (round-5 rationale) — at corpus scale the same recompute-vs-spill
+    # call documented in SCALING.md.
+    members = assigned.select(
+        F.col("vec_id"), F.col("cluster"), F.col("_vec").alias("embedding")
+    ).localCheckpoint()
     pairs = cosine_neardup_pairs(
         members, threshold=threshold, id_col="vec_id", block_col="cluster"
     )
