@@ -25,6 +25,7 @@ from hri_flink_pipeline_core_spark.operators import similarity as S
 from hri_flink_pipeline_core_spark.operators import text as TX
 from hri_flink_pipeline_core_spark.operators import windows as W
 from hri_flink_pipeline_core_spark.plans import oracles as O
+from hri_flink_pipeline_core_spark.operators.cache import checkpoint_small
 from hri_flink_pipeline_core_spark.operators.tracker import track_batches_batch
 from hri_flink_pipeline_core_spark.operators.validation import validate_records
 from hri_flink_pipeline_core_spark.plans import testdata as TD
@@ -431,8 +432,6 @@ def q_vocab_coverage(spark, sf_dir):
     driver) — the rank window then runs over that constant-sized
     result, never the full vocabulary; checkpoints and the scalar
     total are broadcast."""
-    from hri_flink_pipeline_core_spark.operators.cache import tracked_persist
-
     docs = _tp(spark, sf_dir, "documents")
     grams = docs.select(
         F.explode(TX.shingles(F.col("text"), 3)).alias("g")
@@ -442,7 +441,7 @@ def q_vocab_coverage(spark, sf_dir):
     # and both consumers analyze a flat leaf (round-5 rationale).
     counts = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("cnt")
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     # the join below only consumes rnk <= max(checkpoint): rank the
     # distributed top-10k only, not the whole vocabulary
     ranked = _topk_ranked(
@@ -780,13 +779,20 @@ def q_kmv_set_ops(spark, sf_dir):
     hashing -> identical sketches on any engine, any partitioning —
     exactly why KMV beats HLL for cross-engine reproducibility.
 
-    Scale shape: vocab-keyed distinct + per-language top-k window build
+    Scale shape: vocab-keyed distinct + a TWO-LEVEL partial min-k build
     the sketches (k rows per language thereafter); all pair math runs on
     k-sized sketches — constant work per pair regardless of corpus
     size. The exact legs are vocabulary-keyed aggregates (testable
-    ground truth; production would drop them)."""
-    from pyspark.sql import Window as SW
+    ground truth; production would drop them).
 
+    The former per-language ``row_number`` window sorted each
+    language's ENTIRE hash vocabulary to pick k=256 minima — the last
+    per-key-data-sized window sort in the engine (round-5 VERDICT
+    "What's wrong" #3). Now: level 1 buckets by h%64 and keeps each
+    (lang, bucket)'s k smallest via a partial agg (per-task buffer
+    bounded by vocab/64); level 2 merges 64 k-slices per language and
+    re-slices — a constant-size agg. No WindowExec anywhere in the
+    plan (asserted in test_plan_shapes)."""
     docs = _tp(spark, sf_dir, "documents")
     # (lang, gram) feeds the sketch chain AND the exact legs;
     # localCheckpoint (not persist) so the corpus explode runs once AND
@@ -795,13 +801,21 @@ def q_kmv_set_ops(spark, sf_dir):
     # 3.6-4.5 s -> 2.7-2.9 s end-to-end at sf0.1)
     grams = docs.select(
         "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("g")
-    ).distinct().localCheckpoint()
+    ).distinct().transform(checkpoint_small)
     gh = grams.select("lang", TX.hash60(F.col("g")).alias("h")).distinct()
-    w = SW.partitionBy("lang").orderBy("h")
+    # two-level partial min-k (no window): bucket, keep k smallest per
+    # (lang, bucket), merge the 64 bounded slices per language
+    lvl1 = gh.groupBy("lang", F.pmod(F.col("h"), F.lit(64)).alias("b")).agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("hs")
+    )
     sk = (
-        gh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _KMV_K)
-        .select("lang", "h")
+        lvl1.groupBy("lang")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("hs"))), 1, _KMV_K
+            ).alias("hs")
+        )
+        .select("lang", F.explode("hs").alias("h"))
     )
     pairs = spark.createDataFrame(list(_KMV_PAIRS), "lang_a string, lang_b string")
     side_a = pairs.join(sk, sk["lang"] == pairs["lang_a"]).select(
@@ -815,14 +829,30 @@ def q_kmv_set_ops(spark, sf_dir):
         .groupBy("lang_a", "lang_b", "h")
         .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
     )
-    wu = SW.partitionBy("lang_a", "lang_b").orderBy("h")
-    u = merged.withColumn("rn", F.row_number().over(wu)).filter(
-        F.col("rn") <= _KMV_K
-    )
-    est = u.groupBy("lang_a", "lang_b").agg(
-        F.max("h").alias("kth"),
-        F.count(F.lit(1)).alias("m"),
-        F.sum(F.col("in_a") * F.col("in_b")).alias("n_common"),
+    # union min-k: merged is <= 2k rows per pair (built from k-sized
+    # sketches), so one bounded agg replaces the former per-pair window
+    est = (
+        merged.groupBy("lang_a", "lang_b")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(F.struct("h", "in_a", "in_b"))
+                ),
+                1,
+                _KMV_K,
+            ).alias("top")
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            F.element_at(F.col("top"), -1)["h"].alias("kth"),
+            F.size("top").cast("long").alias("m"),
+            F.aggregate(
+                "top",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + (s["in_a"] * s["in_b"]).cast("long"),
+            ).alias("n_common"),
+        )
     )
     est_union = F.when(F.col("m") < _KMV_K, F.col("m").cast("double")).otherwise(
         F.lit(float(_KMV_K - 1) * 2.0**60) / F.col("kth").cast("double")
@@ -1945,7 +1975,7 @@ def q_centroid_distances(spark, sf_dir):
     emb = _tp(spark, sf_dir, "embeddings")
     cents = S.kmeans_quantized_update(
         emb.select(F.col("label").alias("cluster"), F.col("embedding").alias("_vec"))
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     a = cents.select(F.col("label").alias("label_a"), F.col("centroid").alias("_ca"))
     b = cents.select(F.col("label").alias("label_b"), F.col("centroid").alias("_cb"))
     return (
@@ -2305,7 +2335,7 @@ def q_triangle_count(spark, sf_dir):
     # 5x with differing projections, and a flat LogicalRDD leaf keeps
     # every downstream join's analysis/optimization off the deep
     # candidate-generation tree (round-5 CC rationale)
-    edges = D.minhash_lsh_candidates(docs).localCheckpoint()
+    edges = D.minhash_lsh_candidates(docs).transform(checkpoint_small)
     ab = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     bc = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     ac = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
@@ -2336,7 +2366,7 @@ def q_triangle_count_oriented(spark, sf_dir):
     # 5x with differing projections, and a flat LogicalRDD leaf keeps
     # every downstream join's analysis/optimization off the deep
     # candidate-generation tree (round-5 CC rationale)
-    edges = D.minhash_lsh_candidates(docs).localCheckpoint()
+    edges = D.minhash_lsh_candidates(docs).transform(checkpoint_small)
     deg = (
         edges.select(F.col("doc_a").alias("d"))
         .unionAll(edges.select(F.col("doc_b").alias("d")))
@@ -2356,7 +2386,7 @@ def q_triangle_count_oriented(spark, sf_dir):
         F.when(a_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("u"),
         F.when(a_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("v"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("deg_v"),
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     o1 = oriented.select("u", F.col("v").alias("v1"), F.col("deg_v").alias("dv1"))
     o2 = oriented.select("u", F.col("v").alias("v2"), F.col("deg_v").alias("dv2"))
     wedges = o1.join(o2, "u").filter(

@@ -64,6 +64,7 @@ PERMS = _perm_constants()
 # release_persisted_intermediates() in long-lived drivers). Re-exported
 # here because this module's operators are the main users.
 from .cache import (  # noqa: E402  (re-export)
+    checkpoint_small,
     release_persisted_intermediates,
     tracked_persist as _persist,
 )
@@ -224,7 +225,7 @@ def bucket_pairs(
     # projections defeat ReuseExchange) over the expensive signature
     # lineage; the flat leaf also keeps both sides' analysis off that
     # tree (round-5 rationale)
-    member = member.localCheckpoint()
+    member = member.transform(checkpoint_small)
 
     first = fields[0]
     cell = F.pmod(F.xxhash64(F.col(first)), F.col("_g")).cast("int")
@@ -263,7 +264,7 @@ def minhash_banded_rows(
     # flat-leaf materialization of the per-doc signature table (one
     # skinny row per doc) — the shingle->minhash pipeline runs once and
     # every downstream consumer analyzes a leaf (round-5 rationale)
-    banded = minhash_signatures(df, text_col, id_col, k).localCheckpoint()
+    banded = minhash_signatures(df, text_col, id_col, k).transform(checkpoint_small)
     band_cols = minhash_bands(F.col("sig"))
     return banded.select(
         "doc_id",
@@ -328,7 +329,7 @@ def ngram_jaccard_pairs(
     # is deep (LSH pipeline) — a flat leaf keeps every downstream
     # join's analysis off that tree (round-5 CC rationale); the pair
     # set is tiny by construction
-    candidates = candidates.localCheckpoint()
+    candidates = candidates.transform(checkpoint_small)
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -437,7 +438,7 @@ def simhash_neardup_pairs(
     4 x 15-bit chunks (one shuffle), then exact bit_count(xor) verify.
     The per-doc signature table persists (tracked) so the token-explode
     + 60-vote pipeline runs once, not once per bucket_pairs consumer."""
-    based = simhash_table(df, text_col, id_col).localCheckpoint()
+    based = simhash_table(df, text_col, id_col).transform(checkpoint_small)
     chunks = simhash_chunks(F.col("sh"))
     exploded = based.select(
         "doc_id",
@@ -505,7 +506,7 @@ def duplicate_spans(
     # (round-5 rationale). At corpus scale this is the same
     # spill-vs-recompute tradeoff as a MEMORY_AND_DISK persist of
     # (doc, pos, h) rows, documented in SCALING.md.
-    sh = shingle_hash_rows(df, text_col, id_col, k, with_pos=True).localCheckpoint()
+    sh = shingle_hash_rows(df, text_col, id_col, k, with_pos=True).transform(checkpoint_small)
     return _spans_from_hits(_dup_shingle_hits(sh, min_docs))
 
 
@@ -613,7 +614,7 @@ def span_cut_text(
             F.col("tpos") <= F.greatest(F.col("_n") - k, F.lit(0)),
             hash32(shingle),
         ).alias("h"),
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     sh = tok_sh.filter(F.col("h").isNotNull()).select(
         "doc_id", F.col("tpos").alias("pos"), "h"
     )
@@ -701,7 +702,7 @@ def connected_components(
     verts = und.select("src").distinct()
     edges = und.unionByName(
         verts.select("src", F.col("src").alias("dst"))
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     # seed labels from the CHECKPOINTED edges (every vertex has a
     # self-loop), not from `verts` — referencing verts would drag the
     # full candidate-generation tree back into every loop join
@@ -801,10 +802,10 @@ def connected_components_star(
     ``checkpoint`` with a checkpoint dir — same plan shape."""
     cur = _cc_normalize(
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     n_cur = cur.count()
     for _ in range(max_rounds):
-        nxt = _cc_small_star(_cc_large_star(cur)).localCheckpoint()
+        nxt = _cc_small_star(_cc_large_star(cur)).transform(checkpoint_small)
         n_nxt = nxt.count()
         if n_nxt == n_cur and nxt.exceptAll(cur).isEmpty():
             cur, n_cur = nxt, n_nxt
@@ -944,7 +945,7 @@ def crosscorpus_verdicts(
     # (round-5 CC rationale); the candidate set is small by construction
     cands = crosscorpus_candidates(
         new_df, ref_df, text_col, id_col, k, max_bucket, ref_banded
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     a_ids = cands.select(F.col("doc_a").alias("doc_id")).distinct()
     sets_a = (
         shingle_sets(new_df, text_col, id_col, k)
@@ -1028,7 +1029,7 @@ def containment_pairs(
     # is deep (LSH pipeline) — a flat leaf keeps every downstream
     # join's analysis off that tree (round-5 CC rationale); the pair
     # set is tiny by construction
-    candidates = candidates.localCheckpoint()
+    candidates = candidates.transform(checkpoint_small)
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
@@ -1101,7 +1102,7 @@ def prefix_filter_pairs(
         shingle_str_rows(df, text_col, id_col, k)
         .select("doc_id", "shingle")
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_small)
     )
     dfreq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ranked = rows.join(dfreq, "shingle").select("doc_id", "shingle", "df")
@@ -1130,7 +1131,7 @@ def prefix_filter_pairs(
     # the df join + per-doc windows run once, not once per side
     prefix = sized.filter(F.col("pos") <= prefix_len).select(
         "doc_id", "shingle"
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")
@@ -1139,7 +1140,7 @@ def prefix_filter_pairs(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     # exact-Jaccard verification straight from the persisted shingle
     # rows: rebuild candidate docs' shingle SETS with a broadcast
     # semi-join + collect_set instead of re-exploding the corpus text

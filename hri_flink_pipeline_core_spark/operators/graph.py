@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cache import checkpoint_small
+
 
 def pagerank(
     edges: DataFrame,
@@ -63,10 +65,10 @@ def pagerank(
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .transform(checkpoint_small)
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
-    ed = edges.join(outdeg, "src").localCheckpoint()
+    ed = edges.join(outdeg, "src").transform(checkpoint_small)
 
     rank = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(iterations):
@@ -90,5 +92,5 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-        rank = rank.localCheckpoint()
+        rank = rank.transform(checkpoint_small)
     return rank.select("node", F.col("pr").alias("pagerank"))

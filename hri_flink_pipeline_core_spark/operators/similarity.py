@@ -30,6 +30,7 @@ import random
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .cache import checkpoint_small
 from .relational import top_k_per_key
 
 _SEED = 1337
@@ -512,7 +513,7 @@ def semdedup_prune(
     # call documented in SCALING.md.
     members = assigned.select(
         F.col("vec_id"), F.col("cluster"), F.col("_vec").alias("embedding")
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     pairs = cosine_neardup_pairs(
         members, threshold=threshold, id_col="vec_id", block_col="cluster"
     )
@@ -664,7 +665,7 @@ def ann_pq_adc(
     # BOTH the corpus encode and the query LUT, and a flat leaf keeps
     # their joins' analysis off the per-subspace mean-aggregation tree
     # (round-5 lineage-flattening rationale)
-    books = pq_codebooks(corpus, label_col, vec_col).localCheckpoint()
+    books = pq_codebooks(corpus, label_col, vec_col).transform(checkpoint_small)
     codes = pq_encode(corpus, books, corpus_id, vec_col)
     q_sv = _subvectors(queries, query_id, vec_col, "query_id")
     lut = q_sv.join(F.broadcast(books), "sub").select(
@@ -760,7 +761,7 @@ def kmeans_lloyd(
     centroids = init_centroids
     for _ in range(iters):
         assigned = kmeans_assign(df, centroids, vec_id, vec_col)
-        centroids = kmeans_quantized_update(assigned).localCheckpoint()
+        centroids = kmeans_quantized_update(assigned).transform(checkpoint_small)
     return kmeans_assign(df, centroids, vec_id, vec_col).select("vec_id", "cluster")
 
 

@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .cache import checkpoint_small
+
 # 30-bit modulus for permutation hashing: a*h+b stays < 2^62 (no int64
 # overflow under ANSI mode) with h < 2^32 and a < 2^30.
 HASH_P = 1_073_741_789  # largest prime < 2^30
@@ -222,7 +224,7 @@ def bpe_train(
             ).alias("sym"),
             "freq",
         )
-    ).localCheckpoint()
+    ).transform(checkpoint_small)
     # the word table is VOCABULARY-sized; partition it proportionally
     # (one partition per ~64k words, capped at the cluster default) so
     # the 20 per-round jobs don't each schedule a corpus-sized task set
@@ -278,7 +280,7 @@ def bpe_train(
         # regexp_replace chains beat the extra eager jobs up to the
         # point where per-round materialization dominates)
         if (i + 1) % 2 == 0:
-            words = words.localCheckpoint()
+            words = words.transform(checkpoint_small)
 
     spark = df.sparkSession
     return spark.createDataFrame(
