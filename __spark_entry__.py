@@ -1061,13 +1061,7 @@ def q_ann_ivf_probe(spark, sf_dir):
     centroid, exact-search only that cluster (operators/similarity.py
     ann_ivf_probe). The scale path for ann_topk — Q x N/#clusters pairs."""
     emb = _tp(spark, sf_dir, "embeddings")
-    means = q_ivf_centroids(spark, sf_dir)
-    centroids = means.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))),
-            lambda s: s["mean_val"],
-        ).alias("centroid")
-    )
+    centroids = _ivf_centroid_arrays(spark, sf_dir)
     return S.ann_ivf_probe(
         emb.filter(F.col("vec_id") < 20), emb, centroids, k=5
     )
@@ -1079,13 +1073,7 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     linearly with nprobe; recall approaches brute force (measured by
     ann_recall_multiprobe against the exact top-5)."""
     emb = _tp(spark, sf_dir, "embeddings")
-    means = q_ivf_centroids(spark, sf_dir)
-    centroids = means.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))),
-            lambda s: s["mean_val"],
-        ).alias("centroid")
-    )
+    centroids = _ivf_centroid_arrays(spark, sf_dir)
     return S.ann_ivf_probe(
         emb.filter(F.col("vec_id") < 20), emb, centroids, k=5, nprobe=2
     )
@@ -1118,13 +1106,7 @@ def q_kmeans_refine(spark, sf_dir):
     it bit-identically. Output: member count + vec_id checksum per
     final cluster."""
     emb = _tp(spark, sf_dir, "embeddings")
-    means = q_ivf_centroids(spark, sf_dir)
-    cent0 = means.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))),
-            lambda s: s["mean_val"],
-        ).alias("centroid")
-    )
+    cent0 = _ivf_centroid_arrays(spark, sf_dir)
     assigned = S.kmeans_lloyd(emb, cent0, iters=2)
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_members"),
@@ -1132,18 +1114,28 @@ def q_kmeans_refine(spark, sf_dir):
     )
 
 
-def q_ivf_centroids(spark, sf_dir):
+def _ivf_centroid_arrays(spark, sf_dir) -> DataFrame:
+    """(label, centroid array<double>) quantized label means — the
+    shared seed for the IVF/kmeans query family, built column-wise
+    (similarity._colwise_centroid): one map-side-partial agg, no
+    posexplode/collect_list re-assembly. Half-up quantization at 1e-10
+    (floor(x*1e10+0.5)): float32 inputs have SHORT exact decimal
+    expansions that genuinely tie at the 11th digit, so decimal casts
+    diverge between Spark (half-up) and DuckDB (half-even); floor(+0.5)
+    is the same IEEE op in both."""
     emb = _tp(spark, sf_dir, "embeddings")
-    exploded = emb.select(
-        "label", F.posexplode(F.col("embedding")).alias("dim_idx", "val")
+    return S._colwise_centroid(
+        emb.select("label", "embedding"),
+        ["label"],
+        S.quantized_mean_sql("embedding"),
+        64,
     )
-    # Explicit half-up quantization at 1e-10 (floor(x*1e10+0.5) as int64):
-    # float32 inputs have SHORT exact decimal expansions that genuinely tie
-    # at the 11th digit, so decimal casts diverge between Spark (half-up)
-    # and DuckDB (half-even). floor(+0.5) is the same IEEE op in both.
-    q = F.floor(F.col("val").cast("double") * F.lit(1e10) + F.lit(0.5))
-    return exploded.groupBy("label", "dim_idx").agg(
-        (F.sum(q).cast("double") / F.lit(1e10) / F.count(F.lit(1))).alias("mean_val")
+
+
+def q_ivf_centroids(spark, sf_dir):
+    cents = _ivf_centroid_arrays(spark, sf_dir)
+    return cents.select(
+        "label", F.posexplode(F.col("centroid")).alias("dim_idx", "mean_val")
     )
 
 

@@ -64,6 +64,135 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --------------------------------------------------------------------------
+# literal model state (round 6)
+#
+# k-bounded model tables (k-means centroids, IVF coarse centroids, PQ
+# codebooks) are collected to the driver and injected into the plan as
+# LITERAL array expressions instead of broadcast-join sides. This is how
+# Spark MLlib's KMeans itself iterates (cluster centers are collected and
+# re-broadcast every Lloyd round) — the model is k x dim doubles and fits
+# the driver BY CONSTRUCTION, same contract class as MAX_BLAS_QUERIES.
+#
+# Why: in the job-floor regime each broadcast-join + per-key top-k window
+# against a 10-row model table costs a broadcast-build job, a window
+# shuffle and an AQE stage; as a literal expression the nearest-centroid
+# argmax is a per-row projection — no join, no shuffle, no extra job. At
+# 100 TB the corpus side is untouched (still never shuffles); only the
+# k-row model moves through the driver, exactly as in MLlib.
+#
+# Bit-exactness: the literal SQL reproduces dot()/norm()'s left-fold
+# double ops verbatim (same zip_with/aggregate shape, same cast order),
+# doubles round-trip through repr() (shortest-round-trip string -> same
+# IEEE bits on parse), and tie-breaks keep the struct(-label) ordering.
+#
+# Budget: LITERAL_MODEL_MAX_CELLS caps label_count x dim. Above it (an
+# IVF nlist of tens of thousands), literal plans would bloat the parsed
+# expression tree, so every caller falls back to the broadcast-join
+# path — the operators keep both shapes.
+# --------------------------------------------------------------------------
+
+LITERAL_MODEL_MAX_CELLS = 32_768
+
+
+def _lit_d(v: float) -> str:
+    """Exact double literal: repr() is the shortest round-trip string,
+    and SQL string->double parse is correctly rounded, so the engine
+    sees the identical IEEE bits."""
+    return f"cast('{float(v)!r}' as double)"
+
+
+def _lit_vec(vals) -> str:
+    return "array(" + ",".join(_lit_d(v) for v in vals) + ")"
+
+
+def _dot_lit_sql(vec_col: str, vals) -> str:
+    """SQL reproducing dot(col, lit) exactly: same zip_with multiply
+    (with the float->double cast) and same left-fold add."""
+    return (
+        f"aggregate(zip_with({vec_col}, {_lit_vec(vals)}, "
+        f"(x, y) -> cast(x as double) * cast(y as double)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _py_norm(vals) -> float:
+    """Python replica of norm(): left-fold sum of squares then sqrt.
+    Python floats ARE IEEE doubles and math.sqrt is correctly rounded,
+    so this equals the JVM fold bit-for-bit."""
+    import math
+
+    acc = 0.0
+    for x in vals:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _collect_no_aqe(df: DataFrame):
+    """Driver-side collect of a KILOBYTE model table with AQE off for
+    just this action: AQE's staged execution turns a tiny two-stage agg
+    into 2-3 scheduler jobs (runtime re-planning buys nothing on k-row
+    outputs); results are identical, only the scheduling differs. The
+    session conf is restored immediately — lazy consumers of the same
+    session still get AQE."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return df.collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+def collect_model_rows(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "centroid",
+    max_cells: int = LITERAL_MODEL_MAX_CELLS,
+):
+    """Collect a k-bounded (label, vector) model table for literal
+    plans; returns None when it exceeds the literal budget (callers
+    fall back to the broadcast-join shape). One Spark job."""
+    rows = _collect_no_aqe(df.select(label_col, vec_col))
+    cells = sum(len(r[1]) for r in rows)
+    if not rows or cells > max_cells:
+        return None
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def _cos_struct_array_sql(vec_col: str, norm_col: str, cents) -> str:
+    """array<struct<s: cosine, nl: -label>> over the literal centroids —
+    array_max/array_sort on it reproduces top_k_per_key's
+    struct(cos, -label) ordering (ties -> smallest label)."""
+    entries = []
+    for lbl, vec in cents:
+        cos = (
+            f"({_dot_lit_sql(vec_col, vec)} / "
+            f"({norm_col} * {_lit_d(_py_norm(vec))}))"
+        )
+        entries.append(f"named_struct('s', {cos}, 'nl', {-int(lbl)}L)")
+    return "array(" + ",".join(entries) + ")"
+
+
+def nearest_label_col(vec_col: str, norm_col: str, cents) -> Column:
+    """Nearest-centroid label (cosine, ties -> smallest label) as a pure
+    per-row projection over literal centroids."""
+    arr = _cos_struct_array_sql(vec_col, norm_col, cents)
+    return F.expr(f"cast(-array_max({arr}).nl as int)")
+
+
+def probe_labels_col(
+    vec_col: str, norm_col: str, cents, nprobe: int
+) -> Column:
+    """Top-``nprobe`` centroid labels by cosine (desc, ties -> smallest
+    label), as array<int> — the literal-plan IVF probe selection."""
+    arr = _cos_struct_array_sql(vec_col, norm_col, cents)
+    return F.expr(
+        f"transform(slice(reverse(array_sort({arr})), 1, {nprobe}), "
+        f"s -> cast(-s.nl as int))"
+    )
+
+
 def ann_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
@@ -345,29 +474,50 @@ def ann_ivf_probe(
     comparisons per query — cost stays linear in nprobe while recall
     approaches brute force (ann_recall / ann_recall_multiprobe measure
     exactly this tradeoff against the exact top-k)."""
-    cent = centroids.select(
-        F.col(label_col).alias("_c_label"),
-        F.col("centroid").alias("_c_vec"),
-        norm(F.col("centroid")).alias("_c_norm"),
-    )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
-    scored = q.crossJoin(F.broadcast(cent)).select(
-        "query_id",
-        "q_vec",
-        "q_norm",
-        "_c_label",
-        (dot(F.col("q_vec"), F.col("_c_vec")) / (F.col("q_norm") * F.col("_c_norm"))).alias(
-            "_c_cos"
-        ),
-    )
-    # nearest centroid(s); ties -> smallest label (deterministic cross-engine)
-    assigned = top_k_per_key(
-        scored, ["query_id"], F.struct(F.col("_c_cos"), -F.col("_c_label")), nprobe
-    ).select("query_id", "q_vec", "q_norm", F.col("_c_label").alias("probe_label"))
+    cents = collect_model_rows(centroids, label_col, "centroid")
+    if cents is not None:
+        # literal probe selection (round 6): top-nprobe centroids per
+        # query as a per-row projection — no centroid broadcast join,
+        # no per-query top-k window; ties -> smallest label, identical
+        # to the struct ordering below
+        assigned = q.withColumn(
+            "_pl", probe_labels_col("q_vec", "q_norm", cents, nprobe)
+        ).select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            F.explode("_pl").alias("probe_label"),
+        )
+    else:
+        cent = centroids.select(
+            F.col(label_col).alias("_c_label"),
+            F.col("centroid").alias("_c_vec"),
+            norm(F.col("centroid")).alias("_c_norm"),
+        )
+        scored = q.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            "_c_label",
+            (
+                dot(F.col("q_vec"), F.col("_c_vec"))
+                / (F.col("q_norm") * F.col("_c_norm"))
+            ).alias("_c_cos"),
+        )
+        # nearest centroid(s); ties -> smallest label (deterministic)
+        assigned = top_k_per_key(
+            scored,
+            ["query_id"],
+            F.struct(F.col("_c_cos"), -F.col("_c_label")),
+            nprobe,
+        ).select(
+            "query_id", "q_vec", "q_norm", F.col("_c_label").alias("probe_label")
+        )
 
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
@@ -390,35 +540,67 @@ def ann_ivf_probe(
     )
 
 
+#: exact double literals for SQL strings (scientific literals can parse
+#: as DECIMAL depending on legacy confs; CAST is unambiguous)
+_D1E10 = "cast(10000000000 as double)"
+_DHALF = "cast(0.5 as double)"
+
+
+def _colwise_centroid(
+    df: DataFrame, group_cols: list, mean_sql: str, dim: int
+) -> DataFrame:
+    """Element-wise vector means via DIM column-wise aggregates — the
+    posexplode-free centroid build (round 6).
+
+    The former shape (posexplode -> groupBy(group, dim_idx) -> second
+    groupBy(group) with collect_list + array_sort) shuffles N*dim
+    skinny rows TWICE and sorts per group; this shape computes the same
+    means as ``dim`` independent sums inside ONE map-side-partial agg —
+    one shuffle of |groups| wide rows, no sort, no explode. Values are
+    bit-identical (same quantized integers summed, same division
+    order). ``mean_sql`` is a format string with ``{i}`` = dimension
+    index; built as ONE SQL string per dim (the expr-string build-time
+    lever, see memory/round-5)."""
+    aggs = [F.expr(mean_sql.format(i=i)).alias(f"_m{i}") for i in range(dim)]
+    g = df.groupBy(*group_cols).agg(*aggs)
+    return g.select(
+        *group_cols,
+        F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("centroid"),
+    )
+
+
+def quantized_mean_sql(vec_col: str) -> str:
+    """Per-dimension quantized-mean SQL (format with ``{i}``): half-up
+    quantization at 1e-10 — floor(x*1e10+0.5) is the same IEEE op in
+    Spark and DuckDB (decimal casts would tie-break differently).
+    DECIMAL(38,0) accumulation: the per-row quantized magnitude is
+    ~1e10, so a plain BIGINT sum would wrap at ~1e9 members per
+    cluster — real at 100 TB; the decimal cost is per-GROUP, not
+    per-corpus-row, since the partial agg collapses map-side."""
+    return (
+        f"cast(sum(cast(floor(cast({vec_col}[{{i}}] as double)*{_D1E10}"
+        f"+{_DHALF}) as decimal(38,0))) as double)/{_D1E10}/count(1)"
+    )
+
+
 def ivf_centroids(
     df: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = DEFAULT_DIM
 ) -> DataFrame:
     """IVF coarse centroids: element-wise mean per cluster label.
 
-    Decimal-exact accumulation per dimension (posexplode -> sum of
-    decimal), so the centroid doubles are identical cross-engine. One
-    shuffle of N*dim skinny rows — at 100 TB you'd sample instead; the
-    operator shape is the same."""
-    exploded = df.select(
-        F.col(label_col).alias("label"),
-        F.posexplode(F.col(vec_col)).alias("dim_idx", "val"),
+    Decimal-exact accumulation per dimension (column-wise sums — see
+    ``_colwise_centroid``), so the centroid doubles are identical
+    cross-engine. One shuffle of |labels| wide rows — at 100 TB you'd
+    sample instead; the operator shape is the same."""
+    mean_sql = (
+        f"cast(sum(cast({vec_col}[{{i}}] as decimal(28,10))) as double)"
+        f"/count(1)"
     )
-    sums = exploded.groupBy("label", "dim_idx").agg(
-        (
-            F.sum(F.col("val").cast("decimal(28,10)")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("mean_val")
-    )
-    return (
-        sums.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("dim_idx"), F.col("mean_val")))
-                ),
-                lambda s: s["mean_val"],
-            ).alias("centroid")
-        )
+    return _colwise_centroid(
+        df.select(F.col(label_col).alias("label"), vec_col),
+        ["label"],
+        mean_sql,
+        dim,
     )
 
 
@@ -454,24 +636,18 @@ def kmeans_assign(
     ).select("vec_id", F.col("_c_label").alias("cluster"), "_vec")
 
 
-def kmeans_quantized_update(assigned: DataFrame) -> DataFrame:
+def kmeans_quantized_update(
+    assigned: DataFrame, dim: int = DEFAULT_DIM
+) -> DataFrame:
     """Lloyd update step: element-wise mean of each cluster's members,
     quantized at 1e-10 (floor(x*1e10+0.5)) so the centroid doubles are
     bit-identical cross-engine (same rationale as ivf centroid means).
-    Clusters that lost every member simply disappear. One shuffle of
-    members x dim skinny rows with map-side partial aggregation."""
-    exploded = assigned.select(
-        "cluster", F.posexplode(F.col("_vec")).alias("dim_idx", "val")
-    )
-    q = F.floor(F.col("val").cast("double") * F.lit(1e10) + F.lit(0.5))
-    means = exploded.groupBy("cluster", "dim_idx").agg(
-        (F.sum(q).cast("double") / F.lit(1e10) / F.count(F.lit(1))).alias("mean_val")
-    )
-    return means.groupBy("cluster").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))),
-            lambda s: s["mean_val"],
-        ).alias("centroid")
+    Clusters that lost every member simply disappear. Column-wise sums
+    (``_colwise_centroid``): ONE map-side-partial shuffle of |clusters|
+    wide rows — the former posexplode shape shuffled members x dim
+    skinny rows twice and sorted per cluster."""
+    return _colwise_centroid(
+        assigned, ["cluster"], quantized_mean_sql("_vec"), dim
     ).select(F.col("cluster").alias("label"), "centroid")
 
 
@@ -505,14 +681,28 @@ def semdedup_prune(
     100 TB you'd subdivide hot clusters exactly like dedup.bucket_pairs
     (same grid-salt pattern applies; cluster counts here are k-bounded).
     """
-    assigned = kmeans_assign(df, ivf_centroids(df, label_col, vec_col), id_col, vec_col)
+    cents = collect_model_rows(ivf_centroids(df, label_col, vec_col))
+    if cents is not None:
+        # literal assignment (round 6): nearest-centroid is a per-row
+        # projection — no broadcast join, no per-vector top-k window
+        assigned = df.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("embedding"),
+            norm(F.col(vec_col)).alias("_nrm"),
+        ).withColumn("cluster", nearest_label_col("embedding", "_nrm", cents))
+    else:
+        assigned = kmeans_assign(
+            df, ivf_centroids(df, label_col, vec_col), id_col, vec_col
+        ).select(
+            "vec_id", "cluster", F.col("_vec").alias("embedding")
+        )
     # consumed three times (both pair-join sides + the survivor flag
-    # join); localCheckpoint-ed so the centroid-build + assignment
-    # subtree runs once AND every consumer analyzes a flat leaf
-    # (round-5 rationale) — at corpus scale the same recompute-vs-spill
-    # call documented in SCALING.md.
+    # join); checkpointed so the centroid-build + assignment subtree
+    # runs once AND every consumer analyzes a flat leaf (round-5
+    # rationale) — at corpus scale the same recompute-vs-spill call
+    # documented in SCALING.md.
     members = assigned.select(
-        F.col("vec_id"), F.col("cluster"), F.col("_vec").alias("embedding")
+        F.col("vec_id"), F.col("cluster"), F.col("embedding")
     ).transform(checkpoint_small)
     pairs = cosine_neardup_pairs(
         members, threshold=threshold, id_col="vec_id", block_col="cluster"
@@ -554,27 +744,96 @@ def pq_codebooks(
 
     Output: (sub, code, subcentroid array<double>) — k codes per
     subspace. Tiny by construction (subspaces x labels rows) ->
-    broadcast everywhere downstream."""
-    exploded = df.select(
-        F.col(label_col).alias("code"),
-        F.posexplode(F.col(vec_col)).alias("dim_idx", "val"),
-    ).withColumn("sub", (F.col("dim_idx") / PQ_SUBDIM).cast("int"))
-    means = exploded.groupBy("sub", "code", "dim_idx").agg(
-        (
-            F.sum(
-                F.floor(F.col("val").cast("double") * F.lit(_Q) + F.lit(0.5)).cast(
-                    "bigint"
-                )
-            ).cast("double")
-            / F.lit(_Q)
-            / F.count(F.lit(1))
-        ).alias("mean_val")
+    broadcast everywhere downstream. Column-wise build (round 6): one
+    map-side-partial agg of dim quantized sums per code — no
+    posexplode, no (sub, code, dim) shuffle, no per-code sort; the
+    subcentroid slices are assembled from the agg row."""
+    full = _colwise_centroid(
+        df.select(F.col(label_col).alias("code"), F.col(vec_col).alias("_v")),
+        ["code"],
+        quantized_mean_sql("_v"),
+        PQ_SUBSPACES * PQ_SUBDIM,
     )
-    return means.groupBy("sub", "code").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim_idx", "mean_val"))),
-            lambda s: s["mean_val"],
-        ).alias("subcentroid")
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"),
+                F.slice(
+                    F.col("centroid"), m * PQ_SUBDIM + 1, PQ_SUBDIM
+                ).alias("subcentroid"),
+            )
+            for m in range(PQ_SUBSPACES)
+        ]
+    )
+    return full.select("code", F.explode(subs).alias("s")).select(
+        "s.sub", "code", "s.subcentroid"
+    )
+
+
+def collect_codebooks(books_df: DataFrame):
+    """Collect PQ codebooks (subspaces x k rows) for literal plans;
+    None when over the literal budget (callers keep the join shape).
+    Returns {sub: [(code, codeword)] sorted by code}."""
+    rows = _collect_no_aqe(books_df.select("sub", "code", "subcentroid"))
+    if not rows or sum(len(r[2]) for r in rows) > LITERAL_MODEL_MAX_CELLS:
+        return None
+    by_sub: dict = {}
+    for r in rows:
+        by_sub.setdefault(int(r[0]), []).append(
+            (int(r[1]), [float(x) for x in r[2]])
+        )
+    return {s: sorted(v) for s, v in by_sub.items()}
+
+
+def _qdot_lit_sql(vec_sql: str, vals) -> str:
+    """SQL replica of _qdot(col, lit): quantized BIGINT partial dot."""
+    return (
+        f"cast(floor({_dot_lit_sql(vec_sql, vals)} * {_D1E10} + {_DHALF}) "
+        f"as bigint)"
+    )
+
+
+def _pq_argmax_cols(vec_col: str, books) -> dict:
+    """Per-subspace argmax over the literal codebook: {sub ->
+    struct<qd, nc, p>} where the max struct reproduces
+    top_k_per_key(struct(_qd, -code), 1): highest quantized dot, ties
+    -> smallest code. 'p' is the code's 1-based position in the
+    sorted-code list (rides along; qd/nc decide the max)."""
+    cols = {}
+    for sub, entries in sorted(books.items()):
+        sv = f"slice({vec_col}, {sub * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        structs = [
+            f"named_struct('qd', {_qdot_lit_sql(sv, w)}, "
+            f"'nc', {-int(code)}L, 'p', {pos})"
+            for pos, (code, w) in enumerate(entries, start=1)
+        ]
+        cols[sub] = F.expr("array_max(array(" + ",".join(structs) + "))")
+    return cols
+
+
+def pq_encode_literal(
+    df: DataFrame, books, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, sub, code) PQ codes via literal codebooks — per-row argmax
+    projection; no subvector explode, no codebook join, no per-(vec,
+    sub) top-k window. Identical codes to pq_encode (same quantized
+    dots, same tie-break)."""
+    ams = [
+        cols.alias(f"_am{sub}")
+        for sub, cols in _pq_argmax_cols(vec_col, books).items()
+    ]
+    wide = df.select(F.col(id_col).alias("vec_id"), *ams)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(sub).alias("sub"),
+                F.expr(f"cast(-_am{sub}.nc as int)").alias("code"),
+            )
+            for sub in sorted(books)
+        ]
+    )
+    return wide.select("vec_id", F.explode(pairs).alias("s")).select(
+        "vec_id", "s.sub", "s.code"
     )
 
 
@@ -627,7 +886,12 @@ def pq_code_histogram(
     """Observable for the encode stage: how many vectors landed on each
     (sub, code) cell + an id checksum — verifies codebook build + encode
     end-to-end against the oracle."""
-    codes = pq_encode(df, pq_codebooks(df, label_col, vec_col), id_col, vec_col)
+    books_df = pq_codebooks(df, label_col, vec_col)
+    books = collect_codebooks(books_df)
+    if books is not None:
+        codes = pq_encode_literal(df, books, id_col, vec_col)
+    else:
+        codes = pq_encode(df, books_df, id_col, vec_col)
     return codes.groupBy("sub", "code").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("vec_id").alias("id_checksum"),
@@ -661,14 +925,59 @@ def ann_pq_adc(
     integer-sum aggregate keyed (query, vec) and a final per-query
     top-k. Approximation error comes from quantization only — measured
     against ann_topk the same way ann_recall measures IVF."""
-    # localCheckpoint the tiny codebook (subspaces x k rows): it feeds
-    # BOTH the corpus encode and the query LUT, and a flat leaf keeps
-    # their joins' analysis off the per-subspace mean-aggregation tree
-    # (round-5 lineage-flattening rationale)
-    books = pq_codebooks(corpus, label_col, vec_col).transform(checkpoint_small)
-    codes = pq_encode(corpus, books, corpus_id, vec_col)
+    books_df = pq_codebooks(corpus, label_col, vec_col)
+    books = collect_codebooks(books_df)
+    if books is not None:
+        # literal path (round 6): codes AND per-query LUTs are per-row
+        # projections over the literal codebooks — the whole ADC scan is
+        # one broadcast(query-LUT) join + one per-query top-k, instead
+        # of codebook-checkpoint + encode-window + LUT join + (sub,
+        # code) join + integer-sum agg. The per-pair math is identical:
+        # element_at picks the same quantized partials the (sub, code)
+        # equi-join matched, and the 4-term integer add equals the
+        # integer SUM (associative, orderless-safe either way).
+        subs = sorted(books)
+        ams = _pq_argmax_cols(vec_col, books)
+        ccodes = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            *[ams[s].alias(f"_am{s}") for s in subs],
+        ).select(
+            "neighbor_id",
+            *[F.expr(f"_am{s}.p").alias(f"_p{s}") for s in subs],
+        )
+        luts = []
+        for s in subs:
+            sv = f"slice({vec_col}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+            parts = ",".join(
+                _qdot_lit_sql(sv, w) for _code, w in books[s]
+            )
+            luts.append(F.expr("array(" + parts + ")").alias(f"_l{s}"))
+        qlut = queries.select(F.col(query_id).alias("query_id"), *luts)
+        total = " + ".join(f"element_at(_l{s}, _p{s})" for s in subs)
+        scored = (
+            ccodes.crossJoin(F.broadcast(qlut))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (F.expr(f"cast(({total}) as double)") / F.lit(_Q)).alias(
+                    "approx_dot"
+                ),
+            )
+        )
+        return top_k_per_key(
+            scored,
+            ["query_id"],
+            F.struct(F.col("approx_dot"), F.col("neighbor_id")),
+            k,
+        )
+    # join path: checkpoint the tiny codebook (subspaces x k rows): it
+    # feeds BOTH the corpus encode and the query LUT, and a flat leaf
+    # keeps their joins' analysis off the mean-aggregation tree
+    books_ck = books_df.transform(checkpoint_small)
+    codes = pq_encode(corpus, books_ck, corpus_id, vec_col)
     q_sv = _subvectors(queries, query_id, vec_col, "query_id")
-    lut = q_sv.join(F.broadcast(books), "sub").select(
+    lut = q_sv.join(F.broadcast(books_ck), "sub").select(
         "query_id",
         "sub",
         "code",
@@ -752,17 +1061,42 @@ def kmeans_lloyd(
     then a final assignment against the refined centroids. Returns the
     final (vec_id, cluster).
 
-    Each round's centroid table is localCheckpoint-ed (k rows —
-    materialization is free): without the flat leaf the final
-    assignment's plan nests every previous round's corpus join, so
-    Catalyst re-analyzes and re-executes the whole history inside one
-    job (round-5 CC rationale; reliable checkpoint() is the
-    executor-loss-resilient swap-in for long refinements)."""
-    centroids = init_centroids
+    Literal-model rounds (round 6): the k-row centroid table is
+    collected each round and the next assignment is a pure per-row
+    projection over literal centroids — MLlib KMeans' own iteration
+    shape (centers collected + re-broadcast per round). One Spark job
+    per round (the k-row update collect), no broadcast-join/window/
+    checkpoint machinery; the corpus never shuffles. Falls back to the
+    join+checkpoint shape when k x dim exceeds the literal budget."""
+    cents = collect_model_rows(init_centroids, "label", "centroid")
+    if cents is None:
+        centroids = init_centroids
+        for _ in range(iters):
+            assigned = kmeans_assign(df, centroids, vec_id, vec_col)
+            centroids = kmeans_quantized_update(assigned).transform(
+                checkpoint_small
+            )
+        return kmeans_assign(df, centroids, vec_id, vec_col).select(
+            "vec_id", "cluster"
+        )
+    base = df.select(
+        F.col(vec_id).alias("vec_id"),
+        F.col(vec_col).alias("_vec"),
+        norm(F.col(vec_col)).alias("_nrm"),
+    )
+    dim = len(cents[0][1])
     for _ in range(iters):
-        assigned = kmeans_assign(df, centroids, vec_id, vec_col)
-        centroids = kmeans_quantized_update(assigned).transform(checkpoint_small)
-    return kmeans_assign(df, centroids, vec_id, vec_col).select("vec_id", "cluster")
+        assigned = base.withColumn(
+            "cluster", nearest_label_col("_vec", "_nrm", cents)
+        )
+        cents = collect_model_rows(
+            kmeans_quantized_update(assigned.select("cluster", "_vec"), dim),
+            "label",
+            "centroid",
+        )
+    return base.withColumn(
+        "cluster", nearest_label_col("_vec", "_nrm", cents)
+    ).select("vec_id", "cluster")
 
 
 # --------------------------------------------------------------------------
