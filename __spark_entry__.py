@@ -3187,132 +3187,112 @@ def q_cooccurrence_lift(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER is deliberate: the driver's correctness harness has a
-    # per-round budget (50 keys/round observed in rounds 1-4) and walks
-    # this dict in order. Round-5 ordering, per VERDICT.md round 4
-    # "Next round" #5: (0) the 12 keys whose implementation or oracle
-    # changed in round 5 (distributed top-k rewrite, cooccurrence df
-    # band-pass, zscore var>0 guard, prefix-filter rewrite, kmv exact-leg
-    # rewrite, gopher/ann_sq oracle cleanups) so every change gets a
-    # fresh driver verdict; (1) the keys whose only driver row is from
-    # ROUND 1 — the stalest verdicts, re-checked before anything already
-    # green in r2/r4; (2) the six round-1 keys that don't fit the
-    # window (trivial unchanged relational plans); then (3) round-2 and
-    # (4) round-4 verified keys, freshest last.
+    # per-round budget (50 keys/round observed in rounds 1-5) and walks
+    # this dict in order. Round-6 ordering, per VERDICT.md round 5
+    # "Next round" #1: (0) the 26 keys whose implementation changed in
+    # round 6 (ANN literal-model rewrite, kmv min-k partial agg,
+    # checkpoint_small seam) or changed late in round 5 with no
+    # post-change driver row (cosine_neardup_lsh, cube/rollup/grouping
+    # sets); (1) the 24 stalest keys — everything whose latest driver
+    # row is r1, then the judge-named r2 keys (TPC-H q3/q5/q6, the
+    # window-function family), then remaining r2 alphabetically;
+    # (2) five checkpoint-seam-only keys with fresh green r4/r5 rows,
+    # deliberately spilled to round 7 (the seam is a mechanical persist
+    # -> checkpoint swap, re-verified by the full 138-key pytest oracle
+    # sweep at sf0.01); (3) the rest, oldest driver round first. The 14
+    # r2-stale keys that do not fit (pivot_agg .. value_histogram) are
+    # listed as the round-7 spill in SURVEY.md.
     return {
-        # -- (0) touched in round 5 (distributed top-k / band-pass /
-        #    overflow-guard / oracle edits) — need fresh driver rows --
-        "prefix_filter_pairs": q_prefix_filter_pairs,
-        "cooccurrence_lift": q_cooccurrence_lift,
-        "rolling_zscore": q_rolling_zscore,
-        "pmi_bigrams": q_pmi_bigrams,
-        "countmin_heavy": q_countmin_heavy,
-        "bigram_topk": q_bigram_topk,
-        "vocab_coverage": q_vocab_coverage,
-        "skew_profile": q_skew_profile,
-        "kmv_set_ops": q_kmv_set_ops,
-        "gopher_rules": q_gopher_rules,
-        "ann_sq_topk": q_ann_sq_topk,
-        "ann_sq_recall": q_ann_sq_recall,
-        # -- (1) last driver-verified in ROUND 1 (oldest verdicts; 38 of
-        #    45 fit the 50-key window with section 0) --
-        "ann_recall": q_ann_recall,
-        "approx_percentile_binned": q_approx_percentile_binned,
-        "asof_latest_order": q_asof_latest_order,
-        "centroid_distances": q_centroid_distances,
-        "contamination_flag": q_contamination_flag,
-        "curation_pipeline": q_curation_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_text": q_dedup_exact_text,
-        "doc_chunks": q_doc_chunks,
-        "doc_fingerprint": q_doc_fingerprint,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "interval_join_anchor_windows": q_interval_join_anchor_windows,
-        "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
-        "kmv_distinct": q_kmv_distinct,
-        "lang_id": q_lang_id,
-        "latest_per_key": q_latest_per_key,
-        "merge_upsert": q_merge_upsert,
-        "pagerank_domains": q_pagerank_domains,
-        "pareto_frontier": q_pareto_frontier,
-        "percentile_filter": q_percentile_filter,
-        "pii_redact": q_pii_redact,
-        "posting_lists": q_posting_lists,
-        "pricing_summary": q_pricing_summary,
-        "repetition_score": q_repetition_score,
-        "resample_ffill": q_resample_ffill,
-        "route_counts": q_route_counts,
-        "salted_join_skewed": q_salted_join_skewed,
-        "sink_table_roundtrip": q_sink_table_roundtrip,
-        "snapshot_diff": q_snapshot_diff,
-        "term_topk": q_term_topk,
-        "threshold_trigger": q_threshold_trigger,
-        "topk_per_key": q_topk_per_key,
-        "topp_select": q_topp_select,
-        "tracker_terminal": q_tracker_terminal,
-        "triangle_count": q_triangle_count,
-        "validation_invalid": q_validation_invalid,
-        "weighted_sample": q_weighted_sample,
-        "zorder_index": q_zorder_index,
-        # -- (2) remaining round-1 keys (trivial relational plans,
-        #    unchanged since r1, unit+hypothesis covered) — next window --
-        "filter_orders": q_filter_orders,
-        "project_net_price": q_project_net_price,
-        "count_by_key": q_count_by_key,
-        "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
-        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
-        "join_broadcast_part": q_join_broadcast_part,
-        # -- (3) last driver-verified in round 2 --
-        "analytic_window": q_analytic_window,
-        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        # -- (0) round-6-modified keys: ANN literal-model + column-wise
+        #    builds, kmv partial min-k, checkpoint seam; plus late-r5
+        #    rewrites lacking driver rows --
+        "kmeans_refine": q_kmeans_refine,
+        "semdedup_prune": q_semdedup_prune,
+        "ann_pq_adc": q_ann_pq_adc,
+        "ann_pq_rerank": q_ann_pq_rerank,
+        "ann_pq_recall": q_ann_pq_recall,
+        "pq_code_histogram": q_pq_code_histogram,
+        "ivf_centroids": q_ivf_centroids,
         "ann_ivf_probe": q_ann_ivf_probe,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "ann_recall": q_ann_recall,
         "ann_recall_multiprobe": q_ann_recall_multiprobe,
-        "bucketed_join_colocated": q_bucketed_join_colocated,
-        "cosine_neardup": q_cosine_neardup,
+        "centroid_distances": q_centroid_distances,
+        "kmv_set_ops": q_kmv_set_ops,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "triangle_count_oriented": q_triangle_count_oriented,
+        "incremental_neardup": q_incremental_neardup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "duplicate_spans": q_duplicate_spans,
+        "span_cut_text": q_span_cut_text,
+        "containment_pairs": q_containment_pairs,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "cube_agg": q_cube_agg,
+        "rollup_agg": q_rollup_agg,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        # -- (1) stalest driver rows: all r1 keys, then judge-named r2
+        #    (TPC-H / window family), then remaining r2 --
+        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+        "count_by_key": q_count_by_key,
+        "filter_orders": q_filter_orders,
+        "join_broadcast_part": q_join_broadcast_part,
+        "project_net_price": q_project_net_price,
+        "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
+        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
+        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "window_sliding": q_window_sliding,
+        "window_tumbling": q_window_tumbling,
+        "analytic_window": q_analytic_window,
+        "range_frame_window": q_range_frame_window,
+        "bucketed_join_colocated": q_bucketed_join_colocated,
+        "cosine_neardup": q_cosine_neardup,
         "date_funcs": q_date_funcs,
         "doc_rarity": q_doc_rarity,
         "domain_mix": q_domain_mix,
         "frame_sample": q_frame_sample,
-        "grouping_sets_agg": q_grouping_sets_agg,
         "hash_sample": q_hash_sample,
-        "ivf_centroids": q_ivf_centroids,
         "json_array_funcs": q_json_array_funcs,
-        "kmeans_refine": q_kmeans_refine,
         "lsh_bucket_counts": q_lsh_bucket_counts,
         "media_blob_stats": q_media_blob_stats,
         "media_decode_features": q_media_decode_features,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # -- (2) checkpoint-seam-only keys with fresh r4/r5 rows
+        #    (spilled to r7 by design) + (3) rest, oldest first --
+        "vocab_coverage": q_vocab_coverage,
+        "triangle_count": q_triangle_count,
+        "pagerank_domains": q_pagerank_domains,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
+        "dedup_clusters_star": q_dedup_clusters_star,
         "pivot_agg": q_pivot_agg,
         "quality_gate": q_quality_gate,
         "quantile_summary": q_quantile_summary,
-        "range_frame_window": q_range_frame_window,
         "rank_features": q_rank_features,
-        "rollup_agg": q_rollup_agg,
         "sample_exact_per_stratum": q_sample_exact_per_stratum,
         "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
         "scd2_intervals": q_scd2_intervals,
         "sequence_pack": q_sequence_pack,
         "session_windows": q_session_windows,
         "set_ops": q_set_ops,
-        "simhash_pairs": q_simhash_pairs,
         "stats_moments": q_stats_moments,
         "stratified_sample": q_stratified_sample,
         "string_funcs": q_string_funcs,
-        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
-        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "value_histogram": q_value_histogram,
-        "window_sliding": q_window_sliding,
-        "window_tumbling": q_window_tumbling,
-        # -- (4) driver-verified in round 4 (freshest) --
+        "ann_topk": q_ann_topk,
         "bloom_prune": q_bloom_prune,
+        "bm25_topk": q_bm25_topk,
+        "bpe_merges": q_bpe_merges,
         "dataset_split": q_dataset_split,
+        "dedup_keep_best": q_dedup_keep_best,
         "event_funnel": q_event_funnel,
-        "retention_cohorts": q_retention_cohorts,
         "event_transitions": q_event_transitions,
-        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "media_exact_dedup": q_media_exact_dedup,
+        "retention_cohorts": q_retention_cohorts,
+        "sessionize_events": q_sessionize_events,
+        "shard_assignment": q_shard_assignment,
+        "text_stats": q_text_stats,
+        "tfidf_topterms": q_tfidf_topterms,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
         "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
@@ -3321,30 +3301,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q18_large_orders": q_tpch_q18_large_orders,
         "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
         "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-        "incremental_neardup": q_incremental_neardup,
-        "semdedup_prune": q_semdedup_prune,
-        "pq_code_histogram": q_pq_code_histogram,
-        "ann_pq_adc": q_ann_pq_adc,
-        "ann_pq_rerank": q_ann_pq_rerank,
-        "ann_pq_recall": q_ann_pq_recall,
-        "bpe_merges": q_bpe_merges,
-        "media_exact_dedup": q_media_exact_dedup,
-        "triangle_count_oriented": q_triangle_count_oriented,
-        "zorder_manifest": q_zorder_manifest,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "dedup_keep_best": q_dedup_keep_best,
-        "shard_assignment": q_shard_assignment,
-        "span_cut_text": q_span_cut_text,
-        "duplicate_spans": q_duplicate_spans,
-        "ann_topk": q_ann_topk,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "containment_pairs": q_containment_pairs,
-        "text_stats": q_text_stats,
-        "sessionize_events": q_sessionize_events,
-        "bm25_topk": q_bm25_topk,
-        "tfidf_topterms": q_tfidf_topterms,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
         "winsorized_stats": q_winsorized_stats,
+        "zorder_manifest": q_zorder_manifest,
+        "ann_sq_recall": q_ann_sq_recall,
+        "ann_sq_topk": q_ann_sq_topk,
+        "approx_percentile_binned": q_approx_percentile_binned,
+        "asof_latest_order": q_asof_latest_order,
+        "bigram_topk": q_bigram_topk,
+        "contamination_flag": q_contamination_flag,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "countmin_heavy": q_countmin_heavy,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_text": q_dedup_exact_text,
+        "doc_chunks": q_doc_chunks,
+        "doc_fingerprint": q_doc_fingerprint,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "gopher_rules": q_gopher_rules,
+        "interval_join_anchor_windows": q_interval_join_anchor_windows,
+        "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
+        "kmv_distinct": q_kmv_distinct,
+        "lang_id": q_lang_id,
+        "latest_per_key": q_latest_per_key,
+        "merge_upsert": q_merge_upsert,
+        "pareto_frontier": q_pareto_frontier,
+        "percentile_filter": q_percentile_filter,
+        "pii_redact": q_pii_redact,
+        "pmi_bigrams": q_pmi_bigrams,
+        "posting_lists": q_posting_lists,
+        "pricing_summary": q_pricing_summary,
+        "repetition_score": q_repetition_score,
+        "resample_ffill": q_resample_ffill,
+        "rolling_zscore": q_rolling_zscore,
+        "route_counts": q_route_counts,
+        "salted_join_skewed": q_salted_join_skewed,
+        "sink_table_roundtrip": q_sink_table_roundtrip,
+        "skew_profile": q_skew_profile,
+        "snapshot_diff": q_snapshot_diff,
+        "term_topk": q_term_topk,
+        "threshold_trigger": q_threshold_trigger,
+        "topk_per_key": q_topk_per_key,
+        "topp_select": q_topp_select,
+        "tracker_terminal": q_tracker_terminal,
+        "validation_invalid": q_validation_invalid,
+        "weighted_sample": q_weighted_sample,
+        "zorder_index": q_zorder_index,
     }
 
 

@@ -135,13 +135,27 @@ def main() -> int:
     out: dict = {"metric": "streaming_pipeline", "n_records": n_records}
     try:
         # ---- stage 1 (untimed): compact the notification dim ------------
+        # start_notification_dim registers its query as the LAST entry in
+        # pipe.queries; keep the explicit handle (ADVICE r5: indexing
+        # pipe.queries[-1] later is fragile if more queries start).
         dim = pipe.start_notification_dim(trigger={"availableNow": True})
-        pipe.queries[-1].awaitTermination(300)
+        dim_query = pipe.queries[-1]
+        if not dim_query.awaitTermination(300):
+            # timed out: recentProgress would describe a still-running
+            # query; rows/s computed from it would be bogus (ADVICE r5)
+            print(
+                json.dumps(
+                    {**out, "error": "notification-dim compaction timed out"}
+                )
+            )
+            return 1
 
         # ---- stage 2 (TIMED): validation fan-out -------------------------
         t0 = time.perf_counter()
         vq = pipe.start_validation(dim, trigger={"availableNow": True})
-        vq.awaitTermination(600)
+        if not vq.awaitTermination(600):
+            print(json.dumps({**out, "error": "validation fan-out timed out"}))
+            return 1
         t_valid = time.perf_counter() - t0
         prog = [json.loads(p.json) for p in vq.recentProgress]
         batch_ms = sorted(
