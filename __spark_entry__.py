@@ -1116,19 +1116,19 @@ def q_kmeans_refine(spark, sf_dir):
 
 def _ivf_centroid_arrays(spark, sf_dir) -> DataFrame:
     """(label, centroid array<double>) quantized label means — the
-    shared seed for the IVF/kmeans query family, built column-wise
-    (similarity._colwise_centroid): one map-side-partial agg, no
-    posexplode/collect_list re-assembly. Half-up quantization at 1e-10
-    (floor(x*1e10+0.5)): float32 inputs have SHORT exact decimal
-    expansions that genuinely tie at the 11th digit, so decimal casts
-    diverge between Spark (half-up) and DuckDB (half-even); floor(+0.5)
-    is the same IEEE op in both."""
+    shared seed for the IVF/kmeans query family
+    (similarity._centroid_means: explode + map-side-collapsing
+    (label, pos) partial agg — model-sized shuffle at any corpus
+    size). Half-up quantization at 1e-10 (floor(x*1e10+0.5)): float32
+    inputs have SHORT exact decimal expansions that genuinely tie at
+    the 11th digit, so decimal casts diverge between Spark (half-up)
+    and DuckDB (half-even); floor(+0.5) is the same IEEE op in both."""
     emb = _tp(spark, sf_dir, "embeddings")
-    return S._colwise_centroid(
+    return S._centroid_means(
         emb.select("label", "embedding"),
         ["label"],
-        S.quantized_mean_sql("embedding"),
-        64,
+        "embedding",
+        S.quantized_mean_sql(),
     )
 
 
@@ -3203,7 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r2-stale keys that do not fit (pivot_agg .. value_histogram) are
     # listed as the round-7 spill in SURVEY.md.
     return {
-        # -- (0) round-6-modified keys: ANN literal-model + column-wise
+        # -- (0) round-6-modified keys: ANN literal-model + centroid
         #    builds, kmv partial min-k, checkpoint seam; plus late-r5
         #    rewrites lacking driver rows --
         "kmeans_refine": q_kmeans_refine,

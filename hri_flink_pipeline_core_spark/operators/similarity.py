@@ -546,39 +546,50 @@ _D1E10 = "cast(10000000000 as double)"
 _DHALF = "cast(0.5 as double)"
 
 
-def _colwise_centroid(
-    df: DataFrame, group_cols: list, mean_sql: str, dim: int
+def _centroid_means(
+    df: DataFrame, group_cols: list, vec_col: str, scalar_mean_sql: str
 ) -> DataFrame:
-    """Element-wise vector means via DIM column-wise aggregates — the
-    posexplode-free centroid build (round 6).
+    """Element-wise vector means via posexplode + (group, pos) partial
+    aggregation (the round-5 shape, reinstated round 6 after a
+    controlled A/B).
 
-    The former shape (posexplode -> groupBy(group, dim_idx) -> second
-    groupBy(group) with collect_list + array_sort) shuffles N*dim
-    skinny rows TWICE and sorts per group; this shape computes the same
-    means as ``dim`` independent sums inside ONE map-side-partial agg —
-    one shuffle of |groups| wide rows, no sort, no explode. Values are
-    bit-identical (same quantized integers summed, same division
-    order). ``mean_sql`` is a format string with ``{i}`` = dimension
-    index; built as ONE SQL string per dim (the expr-string build-time
-    lever, see memory/round-5)."""
-    aggs = [F.expr(mean_sql.format(i=i)).alias(f"_m{i}") for i in range(dim)]
-    g = df.groupBy(*group_cols).agg(*aggs)
-    return g.select(
-        *group_cols,
-        F.array(*[F.col(f"_m{i}") for i in range(dim)]).alias("centroid"),
+    A round-6 experiment replaced this with DIM column-wise decimal
+    aggregates in one groupBy ("one shuffle of |groups| wide rows").
+    Measured at sf0.1, that shape is ~2x SLOWER (0.87 s vs 0.40 s on
+    the embeddings build): 64 decimal aggregate buffers updated per
+    input row in one generated loop JIT poorly, while the explode shape
+    streams skinny rows through a single decimal buffer per (group,
+    pos) hash slot. And the explode shape was never a scale problem:
+    posexplode is map-side (no shuffle), the (group, pos) HashAggregate
+    collapses PARTIALLY MAP-SIDE to |groups| x dim rows per partition,
+    so the shuffle carries partitions x |groups| x dim skinny rows —
+    model-sized, not data-sized — at any corpus size. ``scalar_mean_sql``
+    aggregates the exploded scalar column ``_sc`` (decimal-exact forms
+    below keep cross-engine bit parity)."""
+    ex = df.select(
+        *group_cols, F.posexplode(F.col(vec_col)).alias("_pos", "_sc")
+    )
+    per = ex.groupBy(*group_cols, "_pos").agg(
+        F.expr(scalar_mean_sql).alias("_m")
+    )
+    return per.groupBy(*group_cols).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(_pos, _m))),"
+            " x -> x._m)"
+        ).alias("centroid")
     )
 
 
-def quantized_mean_sql(vec_col: str) -> str:
-    """Per-dimension quantized-mean SQL (format with ``{i}``): half-up
+def quantized_mean_sql() -> str:
+    """Quantized-mean SQL over the exploded scalar ``_sc``: half-up
     quantization at 1e-10 — floor(x*1e10+0.5) is the same IEEE op in
     Spark and DuckDB (decimal casts would tie-break differently).
     DECIMAL(38,0) accumulation: the per-row quantized magnitude is
     ~1e10, so a plain BIGINT sum would wrap at ~1e9 members per
-    cluster — real at 100 TB; the decimal cost is per-GROUP, not
-    per-corpus-row, since the partial agg collapses map-side."""
+    cluster — real at 100 TB; the decimal cost collapses with the
+    map-side partial agg."""
     return (
-        f"cast(sum(cast(floor(cast({vec_col}[{{i}}] as double)*{_D1E10}"
+        f"cast(sum(cast(floor(cast(_sc as double)*{_D1E10}"
         f"+{_DHALF}) as decimal(38,0))) as double)/{_D1E10}/count(1)"
     )
 
@@ -588,19 +599,16 @@ def ivf_centroids(
 ) -> DataFrame:
     """IVF coarse centroids: element-wise mean per cluster label.
 
-    Decimal-exact accumulation per dimension (column-wise sums — see
-    ``_colwise_centroid``), so the centroid doubles are identical
-    cross-engine. One shuffle of |labels| wide rows — at 100 TB you'd
-    sample instead; the operator shape is the same."""
-    mean_sql = (
-        f"cast(sum(cast({vec_col}[{{i}}] as decimal(28,10))) as double)"
-        f"/count(1)"
-    )
-    return _colwise_centroid(
+    Decimal-exact accumulation per dimension (``_centroid_means``), so
+    the centroid doubles are identical cross-engine. The shuffle is
+    model-sized (|labels| x dim partial rows per partition) at any
+    corpus size — at 100 TB you'd sample instead; the operator shape
+    is the same."""
+    return _centroid_means(
         df.select(F.col(label_col).alias("label"), vec_col),
         ["label"],
-        mean_sql,
-        dim,
+        vec_col,
+        "cast(sum(cast(_sc as decimal(28,10))) as double)/count(1)",
     )
 
 
@@ -642,12 +650,11 @@ def kmeans_quantized_update(
     """Lloyd update step: element-wise mean of each cluster's members,
     quantized at 1e-10 (floor(x*1e10+0.5)) so the centroid doubles are
     bit-identical cross-engine (same rationale as ivf centroid means).
-    Clusters that lost every member simply disappear. Column-wise sums
-    (``_colwise_centroid``): ONE map-side-partial shuffle of |clusters|
-    wide rows — the former posexplode shape shuffled members x dim
-    skinny rows twice and sorted per cluster."""
-    return _colwise_centroid(
-        assigned, ["cluster"], quantized_mean_sql("_vec"), dim
+    Clusters that lost every member simply disappear. Explode +
+    (cluster, pos) partial agg (``_centroid_means``): the shuffle
+    carries model-sized partial rows, never member x dim data."""
+    return _centroid_means(
+        assigned, ["cluster"], "_vec", quantized_mean_sql()
     ).select(F.col("cluster").alias("label"), "centroid")
 
 
@@ -744,15 +751,14 @@ def pq_codebooks(
 
     Output: (sub, code, subcentroid array<double>) — k codes per
     subspace. Tiny by construction (subspaces x labels rows) ->
-    broadcast everywhere downstream. Column-wise build (round 6): one
-    map-side-partial agg of dim quantized sums per code — no
-    posexplode, no (sub, code, dim) shuffle, no per-code sort; the
-    subcentroid slices are assembled from the agg row."""
-    full = _colwise_centroid(
+    broadcast everywhere downstream. Built by one full-width
+    ``_centroid_means`` pass; the subcentroid slices are assembled
+    from the 64-wide mean array."""
+    full = _centroid_means(
         df.select(F.col(label_col).alias("code"), F.col(vec_col).alias("_v")),
         ["code"],
-        quantized_mean_sql("_v"),
-        PQ_SUBSPACES * PQ_SUBDIM,
+        "_v",
+        quantized_mean_sql(),
     )
     subs = F.array(
         *[

@@ -380,14 +380,19 @@ def test_semdedup_assignment_broadcasts_centroids(spark, sf001):
     assert "Scan ExistingRDD" in plan
 
 
-def test_pq_adc_codebook_and_lut_broadcast(spark, sf001):
-    """PQ ADC: codebooks and the query LUT are tiny and broadcast; the
-    corpus contributes its code rows through broadcast joins + one
-    integer-sum aggregate — no corpus-side cartesian anywhere."""
+def test_pq_adc_literal_model_no_joins(spark, sf001):
+    """PQ ADC after the round-6 literal-model rewrite: the codebooks are
+    LITERAL expressions (collected once at build, injected like MLlib
+    KMeans does), so corpus encoding is join-free; the only join left
+    is the tiny query-LUT side broadcast-nested-loop against the
+    encoded corpus. The corpus itself never shuffles except the final
+    per-query top-k exchange (WindowGroupLimit runs partial-first)."""
     plan = plan_of(entry.q_ann_pq_adc(spark, sf001), mode="simple")
-    assert plan.count("BroadcastHashJoin") >= 2  # encode join + ADC LUT join
+    assert plan.count("BroadcastHashJoin") == 0  # encode is literal now
+    assert plan.count("SortMergeJoin") == 0
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # LUT side broadcast
     assert "CartesianProduct" not in plan
-    assert plan.count("HashAggregate") >= 2  # partial+final integer sum
+    assert "WindowGroupLimit" in plan  # top-k bounded before the exchange
 
 
 def test_vocab_coverage_vocab_keyed_aggregation(spark, sf001):
@@ -588,7 +593,11 @@ def test_prefix_filter_single_corpus_explode(spark, sf001):
 
 @pytest.mark.parametrize(
     "qname, n_rdd_scans",
-    [("pagerank_domains", 1), ("kmeans_refine", 1), ("incremental_neardup", 1)],
+    # kmeans_refine left this list in round 6: its loop-carried state
+    # (the k centroids) is now a driver-side LITERAL per Lloyd round —
+    # the final plan is one corpus scan + literal expressions, no
+    # checkpointed leaf at all (see test_kmeans_refine_literal_model).
+    [("pagerank_domains", 1), ("incremental_neardup", 1)],
 )
 def test_iterative_queries_have_flat_checkpointed_leaves(
     spark, sf001, qname, n_rdd_scans
@@ -601,3 +610,22 @@ def test_iterative_queries_have_flat_checkpointed_leaves(
     df = entry.queries()[qname](spark, sf001)
     plan = plan_of(df, mode="simple")
     assert plan.count("Scan ExistingRDD") >= n_rdd_scans
+
+
+def test_kmeans_refine_literal_model(spark, sf001):
+    """Round-6 literal-model kmeans: the k centroids are collected to
+    the driver each Lloyd round and injected as literal expressions
+    (the MLlib-KMeans pattern), so the FINAL plan is one corpus scan +
+    literal distance expressions + one partitioned aggregate — no join
+    of any kind, and the corpus never shuffles before the partial agg
+    collapses it to |clusters| rows."""
+    plan = plan_of(entry.queries()["kmeans_refine"](spark, sf001), mode="simple")
+    for join_op in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "ShuffledHashJoin",
+    ):
+        assert join_op not in plan, join_op
+    assert plan.count("HashAggregate") >= 2  # partial + final
