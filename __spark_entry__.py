@@ -401,18 +401,15 @@ def q_ann_pq_recall(spark, sf_dir):
     completes the measured recall/cost curve alongside ann_recall
     (IVF nprobe=1) and ann_recall_multiprobe (nprobe=2): the three
     points quantify what each approximation actually costs in retrieval
-    quality, with every leg deterministic and cross-engine-exact."""
-    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    pq = q_ann_pq_rerank(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = bf.join(pq, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
-    return truth.join(hits, "query_id", "left").select(
-        "query_id",
-        "n_true",
-        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("recall"),
+    quality, with every leg deterministic and cross-engine-exact.
+    Fused single-pass form since round 6
+    (similarity.ann_pq_recall_report): exact cosine and the literal
+    ADC approximation are computed on the SAME scored pairs, and the
+    shortlist/rerank/truth stages are three ranks over one per-query
+    partition."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.ann_pq_recall_report(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, shortlist=20
     )
 
 
@@ -1082,18 +1079,15 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
 def q_ann_recall_multiprobe(spark, sf_dir):
     """Recall of nprobe=2 IVF vs exact top-5, per query — alongside
     ann_recall (nprobe=1) this measures the recall curve the nprobe dial
-    buys, with both legs deterministic and cross-engine-exact."""
-    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = q_ann_ivf_multiprobe(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = bf.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
-    return truth.join(hits, "query_id", "left").select(
-        "query_id",
-        "n_true",
-        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("recall"),
+    buys, with both legs deterministic and cross-engine-exact. Fused
+    single-pass form (similarity.ann_recall_report)."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.ann_recall_report(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        _ivf_centroid_arrays(spark, sf_dir),
+        k=5,
+        nprobe=2,
     )
 
 
@@ -2560,18 +2554,17 @@ def q_ann_recall(spark, sf_dir):
     sides are the engine's own deterministic operators, so the recall
     numbers are reproducible across engines and partitionings. The
     brute-force side is the expensive leg (Q x N) — in production it
-    runs on a sampled query set exactly as here (20 queries)."""
-    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = q_ann_ivf_probe(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = bf.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
-    return truth.join(hits, "query_id", "left").select(
-        "query_id",
-        "n_true",
-        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias("recall"),
+    runs on a sampled query set exactly as here (20 queries). Fused
+    single-pass form since round 6 (similarity.ann_recall_report):
+    both top-k sets derive from ONE scored cross join — the two-leg
+    version paid the Q x N pass twice plus a set join."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.ann_recall_report(
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        _ivf_centroid_arrays(spark, sf_dir),
+        k=5,
+        nprobe=1,
     )
 
 

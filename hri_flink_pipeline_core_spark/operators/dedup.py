@@ -803,14 +803,36 @@ def connected_components_star(
     cur = _cc_normalize(
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     ).transform(checkpoint_small)
-    n_cur = cur.count()
     for _ in range(max_rounds):
         nxt = _cc_small_star(_cc_large_star(cur)).transform(checkpoint_small)
-        n_nxt = nxt.count()
-        if n_nxt == n_cur and nxt.exceptAll(cur).isEmpty():
-            cur, n_cur = nxt, n_nxt
+        # ONE driver action per round (was three: checkpoint-count +
+        # count + exceptAll): the signed-multiset difference is empty
+        # iff the edge sets are identical — its first consumption also
+        # materializes nxt's lazy checkpoint inside the same job.
+        # Column access is positional (like exceptAll): the star ops'
+        # output names differ from the loop's (x, y).
+        nx, cx = nxt.columns, cur.columns
+        converged = (
+            nxt.select(
+                F.col(nx[0]).alias("_u"),
+                F.col(nx[1]).alias("_v"),
+                F.lit(1).alias("_s"),
+            )
+            .unionAll(
+                cur.select(
+                    F.col(cx[0]).alias("_u"),
+                    F.col(cx[1]).alias("_v"),
+                    F.lit(-1).alias("_s"),
+                )
+            )
+            .groupBy("_u", "_v")
+            .agg(F.sum("_s").alias("_d"))
+            .filter(F.col("_d") != 0)
+            .isEmpty()
+        )
+        cur = nxt
+        if converged:
             break
-        cur, n_cur = nxt, n_nxt
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_rounds} rounds"

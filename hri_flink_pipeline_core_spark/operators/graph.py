@@ -71,7 +71,7 @@ def pagerank(
     ed = edges.join(outdeg, "src").transform(checkpoint_small)
 
     rank = nodes.withColumn("pr", F.lit(1.0))
-    for _ in range(iterations):
+    for _i in range(iterations):
         contrib = ed.join(
             rank.select(F.col("node").alias("src"), "pr"), "src"
         ).select(
@@ -92,5 +92,15 @@ def pagerank(
                 ).alias("pr"),
             )
         )
-        rank = rank.transform(checkpoint_small)
+        # Checkpoint cadence (round 6): every 2nd intermediate round,
+        # never the final one. Each rank is referenced twice by the
+        # next round (contrib join + node join), so an uncheckpointed
+        # round doubles the plan — bounded at 2x between checkpoints —
+        # while each checkpoint costs a materialization job-set on a
+        # kilobyte table (the BPE merge loop uses the same cadence,
+        # measured round 5). For the fixed-2-iteration default this
+        # removes ALL rank materializations: the whole refinement runs
+        # as one job over the checkpointed nodes/ed leaves.
+        if _i < iterations - 1 and (_i + 1) % 2 == 0:
+            rank = rank.transform(checkpoint_small)
     return rank.select("node", F.col("pr").alias("pagerank"))

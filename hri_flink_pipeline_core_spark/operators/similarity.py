@@ -540,6 +540,253 @@ def ann_ivf_probe(
     )
 
 
+def ann_pq_recall_report(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-query recall of PQ shortlist+rerank against exact brute
+    force, in ONE corpus pass (round 6 — the two-leg form ran the
+    Q x N cross twice: once for exact top-k, once inside the ADC
+    shortlist, then joined).
+
+    Each (query, neighbor) pair carries BOTH scores: the exact cosine
+    (brute-force leg) and the literal-codebook ADC approximation
+    (element_at over the per-query LUT — same integer math as
+    ann_pq_adc). Three ranks over one per-query partition reproduce
+    the staged pipeline exactly: rank-by-approx defines the ADC
+    shortlist, rank-by-exact-within-shortlist is the rerank, and
+    rank-by-exact over everything is the truth set. Falls back to the
+    composed two-leg operators when the codebooks exceed the literal
+    budget."""
+    books = collect_codebooks(pq_codebooks(corpus, label_col, vec_col))
+    if books is None:
+        bf = ann_topk_bruteforce(
+            queries, corpus, k=k, query_id=query_id,
+            corpus_id=corpus_id, vec_col=vec_col,
+        ).select("query_id", "neighbor_id")
+        pq = ann_pq_rerank(
+            queries, corpus, k=k, shortlist=shortlist, query_id=query_id,
+            corpus_id=corpus_id, vec_col=vec_col, label_col=label_col,
+        ).select("query_id", "neighbor_id")
+        hits = (
+            bf.join(pq, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        truth = bf.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_true")
+        )
+        return truth.join(hits, "query_id", "left").select(
+            "query_id",
+            "n_true",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")
+            ).alias("recall"),
+        )
+
+    subs = sorted(books)
+    ams = _pq_argmax_cols(vec_col, books)
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        *[ams[s].alias(f"_am{s}") for s in subs],
+    ).select(
+        "neighbor_id",
+        "c_vec",
+        "c_norm",
+        *[F.expr(f"_am{s}.p").alias(f"_p{s}") for s in subs],
+    )
+    luts = []
+    for s in subs:
+        sv = f"slice({vec_col}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+        parts = ",".join(_qdot_lit_sql(sv, w) for _code, w in books[s])
+        luts.append(F.expr("array(" + parts + ")").alias(f"_l{s}"))
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        *luts,
+    )
+    total = " + ".join(f"element_at(_l{s}, _p{s})" for s in subs)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cosine"),
+            (F.expr(f"cast(({total}) as double)") / F.lit(_Q)).alias(
+                "approx_dot"
+            ),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    ex_struct = F.struct(F.col("cosine"), F.col("neighbor_id"))
+    adc_struct = F.struct(F.col("approx_dot"), F.col("neighbor_id"))
+    w_ex = Window.partitionBy("query_id").orderBy(ex_struct.desc())
+    w_adc = Window.partitionBy("query_id").orderBy(adc_struct.desc())
+    staged = scored.select(
+        "query_id",
+        "cosine",
+        "neighbor_id",
+        F.row_number().over(w_ex).alias("_rn_ex"),
+        (F.row_number().over(w_adc) <= shortlist).alias("_short"),
+    )
+    w_rr = Window.partitionBy("query_id").orderBy(
+        F.col("_short").desc(),
+        F.struct(F.col("cosine"), F.col("neighbor_id")).desc(),
+    )
+    ranked = staged.select(
+        "query_id",
+        "_rn_ex",
+        "_short",
+        F.row_number().over(w_rr).alias("_rn_rr"),
+    )
+    agg = ranked.groupBy("query_id").agg(
+        F.sum(F.when(F.col("_rn_ex") <= k, 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(
+                (F.col("_rn_ex") <= k)
+                & F.col("_short")
+                & (F.col("_rn_rr") <= k),
+                1,
+            ).otherwise(0)
+        ).alias("n_hit"),
+    )
+    return agg.select(
+        "query_id",
+        "n_true",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_true")).alias("recall"),
+    )
+
+
+def ann_recall_report(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-query recall of IVF-probe search against exact brute force,
+    computed in ONE corpus pass (round 6 — the two-leg form ran the
+    Q x N cross join twice and joined the top-k sets).
+
+    Every (query, neighbor) pair needs the exact cosine for the
+    brute-force leg anyway, and probe membership is a flag
+    (``array_contains(probe_labels, neighbor_label)``), so both top-k
+    sets are two ``row_number`` ranks over the SAME per-query partition
+    of the SAME scored pairs: the exact rank orders by
+    struct(cosine, neighbor_id) desc (identical to top_k_per_key in
+    ann_topk_bruteforce), the probe rank orders in-probe rows first
+    then the same struct — for an in-probe row it equals its rank
+    within the probed subset, i.e. ann_ivf_probe's top-k. One scan,
+    one broadcast cross join, one exchange, one aggregate; the values
+    are identical to the two-leg form by construction.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+    )
+    cents = collect_model_rows(centroids, label_col, "centroid")
+    if cents is not None:
+        # literal probe selection — no centroid join, no top-k window
+        qp = q.withColumn(
+            "_pl", probe_labels_col("q_vec", "q_norm", cents, nprobe)
+        )
+    else:
+        cent = centroids.select(
+            F.col(label_col).alias("_c_label"),
+            F.col("centroid").alias("_c_vec"),
+            norm(F.col("centroid")).alias("_c_norm"),
+        )
+        scored_c = q.crossJoin(F.broadcast(cent)).select(
+            "query_id",
+            "_c_label",
+            (
+                dot(F.col("q_vec"), F.col("_c_vec"))
+                / (F.col("q_norm") * F.col("_c_norm"))
+            ).alias("_c_cos"),
+        )
+        lbls = (
+            top_k_per_key(
+                scored_c,
+                ["query_id"],
+                F.struct(F.col("_c_cos"), -F.col("_c_label")),
+                nprobe,
+            )
+            .groupBy("query_id")
+            .agg(F.collect_set("_c_label").alias("_pl"))
+        )
+        qp = q.join(lbls, "query_id")
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(label_col).alias("_n_label"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+    )
+    pairs = c.crossJoin(F.broadcast(qp)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+        F.array_contains(F.col("_pl"), F.col("_n_label")).alias("_in_probe"),
+    )
+    from pyspark.sql.window import Window
+
+    order_struct = F.struct(F.col("cosine"), F.col("neighbor_id"))
+    w_ex = Window.partitionBy("query_id").orderBy(order_struct.desc())
+    w_pr = Window.partitionBy("query_id").orderBy(
+        F.col("_in_probe").desc(), order_struct.desc()
+    )
+    ranked = scored.select(
+        "query_id",
+        "_in_probe",
+        F.row_number().over(w_ex).alias("_rn_ex"),
+        F.row_number().over(w_pr).alias("_rn_pr"),
+    )
+    agg = ranked.groupBy("query_id").agg(
+        F.sum(F.when(F.col("_rn_ex") <= k, 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(
+                (F.col("_rn_ex") <= k)
+                & F.col("_in_probe")
+                & (F.col("_rn_pr") <= k),
+                1,
+            ).otherwise(0)
+        ).alias("n_hit"),
+    )
+    return agg.select(
+        "query_id",
+        "n_true",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_true")).alias("recall"),
+    )
+
+
 #: exact double literals for SQL strings (scientific literals can parse
 #: as DECIMAL depending on legacy confs; CAST is unambiguous)
 _D1E10 = "cast(10000000000 as double)"
