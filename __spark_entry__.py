@@ -799,11 +799,14 @@ def q_kmv_set_ops(spark, sf_dir):
     grams = docs.select(
         "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("g")
     ).distinct().transform(checkpoint_small)
-    gh = grams.select("lang", TX.hash60(F.col("g")).alias("h")).distinct()
+    gh = grams.select("lang", TX.hash60(F.col("g")).alias("h"))
     # two-level partial min-k (no window): bucket, keep k smallest per
-    # (lang, bucket), merge the 64 bounded slices per language
+    # (lang, bucket), merge the 64 bounded slices per language. No
+    # (lang, h) pre-distinct (round 6): h determines the bucket, so
+    # every duplicate of a hash lands in the SAME (lang, bucket) group
+    # and collect_set dedupes there — one shuffle instead of two.
     lvl1 = gh.groupBy("lang", F.pmod(F.col("h"), F.lit(64)).alias("b")).agg(
-        F.slice(F.array_sort(F.collect_list("h")), 1, _KMV_K).alias("hs")
+        F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("hs")
     )
     sk = (
         lvl1.groupBy("lang")

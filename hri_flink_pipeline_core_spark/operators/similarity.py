@@ -1271,7 +1271,76 @@ def ann_pq_rerank(
     Scale shape: the shortlist is Q x shortlist skinny rows -> broadcast
     against the corpus (one scan, no corpus shuffle) and against the
     query vectors; the rerank math inherits the engine's exact fold
-    (bit-identical cross-engine)."""
+    (bit-identical cross-engine).
+
+    Fused single-pass form (round 6) when the codebooks fit the
+    literal budget: each scored pair carries BOTH the ADC
+    approximation and the exact cosine, the shortlist is a rank over
+    approx, and the final top-k is a rank over exact among shortlist
+    rows — one corpus scan instead of the ADC pass + two rejoins,
+    identical output by construction."""
+    books = collect_codebooks(pq_codebooks(corpus, label_col, vec_col))
+    if books is not None:
+        subs = sorted(books)
+        ams = _pq_argmax_cols(vec_col, books)
+        c2 = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            norm(F.col(vec_col)).alias("c_norm"),
+            *[ams[s].alias(f"_am{s}") for s in subs],
+        ).select(
+            "neighbor_id",
+            "c_vec",
+            "c_norm",
+            *[F.expr(f"_am{s}.p").alias(f"_p{s}") for s in subs],
+        )
+        luts = []
+        for s in subs:
+            sv = f"slice({vec_col}, {s * PQ_SUBDIM + 1}, {PQ_SUBDIM})"
+            parts = ",".join(_qdot_lit_sql(sv, w) for _code, w in books[s])
+            luts.append(F.expr("array(" + parts + ")").alias(f"_l{s}"))
+        q2 = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            norm(F.col(vec_col)).alias("q_norm"),
+            *luts,
+        )
+        total = " + ".join(f"element_at(_l{s}, _p{s})" for s in subs)
+        scored = (
+            c2.crossJoin(F.broadcast(q2))
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                (
+                    dot(F.col("q_vec"), F.col("c_vec"))
+                    / (F.col("q_norm") * F.col("c_norm"))
+                ).alias("cosine"),
+                (F.expr(f"cast(({total}) as double)") / F.lit(_Q)).alias(
+                    "_approx"
+                ),
+            )
+        )
+        from pyspark.sql.window import Window
+
+        w_adc = Window.partitionBy("query_id").orderBy(
+            F.struct(F.col("_approx"), F.col("neighbor_id")).desc()
+        )
+        staged = scored.select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            (F.row_number().over(w_adc) <= shortlist).alias("_short"),
+        )
+        w_rr = Window.partitionBy("query_id").orderBy(
+            F.col("_short").desc(),
+            F.struct(F.col("cosine"), F.col("neighbor_id")).desc(),
+        )
+        return (
+            staged.withColumn("_rn", F.row_number().over(w_rr))
+            .filter(F.col("_short") & (F.col("_rn") <= k))
+            .select("query_id", "neighbor_id", "cosine")
+        )
     short = ann_pq_adc(
         queries, corpus, k=shortlist,
         query_id=query_id, corpus_id=corpus_id,
