@@ -776,11 +776,12 @@ def q_kmv_set_ops(spark, sf_dir):
     hashing -> identical sketches on any engine, any partitioning —
     exactly why KMV beats HLL for cross-engine reproducibility.
 
-    Scale shape: vocab-keyed distinct + a TWO-LEVEL partial min-k build
-    the sketches (k rows per language thereafter); all pair math runs on
-    k-sized sketches — constant work per pair regardless of corpus
-    size. The exact legs are vocabulary-keyed aggregates (testable
-    ground truth; production would drop them).
+    Scale shape: ONE vocabulary-keyed partial agg (gram -> language
+    set) + a TWO-LEVEL partial min-k build the sketches (k rows per
+    language thereafter); all pair math runs on k-sized sketches —
+    constant work per pair regardless of corpus size. The exact legs
+    reuse the same vocabulary table (testable ground truth; production
+    would drop them).
 
     The former per-language ``row_number`` window sorted each
     language's ENTIRE hash vocabulary to pick k=256 minima — the last
@@ -791,20 +792,28 @@ def q_kmv_set_ops(spark, sf_dir):
     re-slices — a constant-size agg. No WindowExec anywhere in the
     plan (asserted in test_plan_shapes)."""
     docs = _tp(spark, sf_dir, "documents")
-    # (lang, gram) feeds the sketch chain AND the exact legs;
-    # localCheckpoint (not persist) so the corpus explode runs once AND
-    # every downstream join/window analyzes a flat leaf instead of
-    # re-walking the explode tree (round-5 rationale; measured
-    # 3.6-4.5 s -> 2.7-2.9 s end-to-end at sf0.1)
+    # ONE data-sized shuffle for the whole query (round 6): the corpus
+    # explode feeds groupBy(gram) -> language-set directly, and the
+    # duplicate (gram, lang) rows collapse in the map-side partial
+    # collect_set — the former separate distinct-(lang, gram) shuffle
+    # bought nothing the partial agg doesn't. Everything downstream
+    # (sketch build AND exact legs) runs off the vocabulary-sized
+    # gram -> languages table, checkpointed once.
     grams = docs.select(
         "lang", F.explode(TX.shingles(F.col("text"), 3)).alias("g")
-    ).distinct().transform(checkpoint_small)
-    gh = grams.select("lang", TX.hash60(F.col("g")).alias("h"))
+    )
+    gm = (
+        grams.groupBy("g")
+        .agg(F.collect_set("lang").alias("ls"))
+        .transform(checkpoint_small)
+    )
+    # distinct (lang, h) pairs, re-derived narrowly from gm: hash each
+    # vocabulary gram once, fan back out over its (deduped) languages
+    gh = gm.select(
+        TX.hash60(F.col("g")).alias("h"), F.explode("ls").alias("lang")
+    )
     # two-level partial min-k (no window): bucket, keep k smallest per
-    # (lang, bucket), merge the 64 bounded slices per language. No
-    # (lang, h) pre-distinct (round 6): h determines the bucket, so
-    # every duplicate of a hash lands in the SAME (lang, bucket) group
-    # and collect_set dedupes there — one shuffle instead of two.
+    # (lang, bucket), merge the 64 bounded slices per language
     lvl1 = gh.groupBy("lang", F.pmod(F.col("h"), F.lit(64)).alias("b")).agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("hs")
     )
@@ -857,14 +866,10 @@ def q_kmv_set_ops(spark, sf_dir):
     est_union = F.when(F.col("m") < _KMV_K, F.col("m").cast("double")).otherwise(
         F.lit(float(_KMV_K - 1) * 2.0**60) / F.col("kth").cast("double")
     )
-    # exact ground truth from the same gram table, via ONE
-    # vocabulary-keyed aggregation (gram -> language set) instead of
-    # the former union-of-two-projections + (pair, gram) re-shuffle
-    # (VERDICT r4 #6): the per-gram language array is tiny (<= n_langs
-    # elements), the pair expansion is a broadcast of the 3-row pair
-    # table, and the membership flags collapse in a map-side partial
-    # agg — one wide shuffle total where there were two.
-    gm = grams.groupBy("g").agg(F.collect_set("lang").alias("ls"))
+    # exact ground truth straight off the checkpointed gram -> language
+    # table: the per-gram language array is tiny (<= n_langs elements),
+    # the pair expansion is a broadcast of the 3-row pair table, and
+    # the membership flags collapse in a map-side partial agg.
     ina = F.array_contains("ls", F.col("lang_a"))
     inb = F.array_contains("ls", F.col("lang_b"))
     exact = (
