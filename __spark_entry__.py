@@ -2737,15 +2737,19 @@ def q_bloom_prune(spark, sf_dir):
     audit: fact count, bloom-pass count, true-match count, false
     positives, observed fp rate.
 
-    Scale shape: the bit set is dim-sized (<= k*|dim| distinct ints,
-    here <= a few KB) -> broadcast; the fact side explodes to k rows,
-    joins the broadcast bits, and partial-aggregates back to one row per
-    fact key BEFORE the single summary agg. No full-width shuffle of
-    the fact table anywhere — exactly why Bloom pruning is worth it at
-    100 TB: rows that fail the filter never reach the real join's
-    exchange."""
+    Scale shape: the filter is m bits — a CONSTANT (here 4096 = 64
+    longs), independent of both table sizes — so it is collected to the
+    driver and injected as a literal bitmap, exactly what Spark's own
+    runtime BloomFilterAggregate does (build-side agg -> driver ->
+    reinjected scalar filter). The fact-side membership test is then a
+    pure per-row projection (3 O(1) shift-and-mask probes inside
+    whole-stage codegen): no fact explode, no fact-keyed shuffle, no
+    rejoin — rows that fail the filter would never reach the real
+    join's exchange, and the audit itself is one scan-side agg."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    # fact side spread: the probe is 3 md5 hashes per row, CPU-bound on
+    # a single-split local scan (a real cluster's scan arrives split)
+    orders = _tp(spark, sf_dir, "orders")
     dim = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
     seeds = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
 
@@ -2761,29 +2765,40 @@ def q_bloom_prune(spark, sf_dir):
             % _BLOOM_BITS,
         )
 
-    bits = dim.select(
-        F.explode(positions(F.col("c_custkey"))).alias("pos")
-    ).distinct()
-    fact_pos = orders.select("o_orderkey", "o_custkey").select(
-        "o_orderkey",
-        "o_custkey",
-        F.explode(positions(F.col("o_custkey"))).alias("pos"),
+    # build side: distinct bit positions, collected (<= m rows — the
+    # filter SIZE is the bound, not the dim row count)
+    pos_rows = (
+        dim.select(F.explode(positions(F.col("c_custkey"))).alias("pos"))
+        .distinct()
+        .collect()
     )
-    hits = (
-        fact_pos.join(F.broadcast(bits), "pos")
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(F.count(F.lit(1)).alias("nhit"))
+    words = [0] * (_BLOOM_BITS // 64)
+    for r in pos_rows:
+        words[r.pos // 64] |= 1 << (r.pos % 64)
+    # wrap to signed 64-bit so each word is a valid Spark LongType literal
+    bm = F.array(
+        *[
+            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+            for w in words
+        ]
+    )
+    probe = positions(F.col("o_custkey"))
+    bloom_pass = F.forall(
+        probe,
+        lambda p: F.getbit(
+            F.get(bm, (p / F.lit(64)).cast("int")), p % F.lit(64)
+        )
+        == F.lit(1),
     )
     flags = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(hits, ["o_orderkey", "o_custkey"], "left")
+        orders.select("o_custkey")
         .join(
             F.broadcast(dim.withColumn("_m", F.lit(1))),
             F.col("o_custkey") == F.col("c_custkey"),
             "left",
         )
         .select(
-            (F.coalesce("nhit", F.lit(0)) == _BLOOM_K).alias("bloom_pass"),
+            bloom_pass.alias("bloom_pass"),
             F.col("_m").isNotNull().alias("true_match"),
         )
     )
@@ -3233,6 +3248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_agg": q_cube_agg,
         "rollup_agg": q_rollup_agg,
         "grouping_sets_agg": q_grouping_sets_agg,
+        # late-round-6 rewrites (literal-bitmap bloom probe; star-CC
+        # convergence-check cadence) — modified keys outrank stale ones,
+        # so these displace the two unchanged r2-green media keys
+        "bloom_prune": q_bloom_prune,
+        "dedup_clusters_star": q_dedup_clusters_star,
         # -- (1) stalest driver rows: all r1 keys, then judge-named r2
         #    (TPC-H / window family), then remaining r2 --
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
@@ -3257,15 +3277,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": q_hash_sample,
         "json_array_funcs": q_json_array_funcs,
         "lsh_bucket_counts": q_lsh_bucket_counts,
+        # -- (2) checkpoint-seam-only keys with fresh r4/r5 rows and the
+        #    two r2-green media keys displaced by late-r6 rewrites
+        #    (spilled to r7 by design) + (3) rest, oldest first --
         "media_blob_stats": q_media_blob_stats,
         "media_decode_features": q_media_decode_features,
-        # -- (2) checkpoint-seam-only keys with fresh r4/r5 rows
-        #    (spilled to r7 by design) + (3) rest, oldest first --
         "vocab_coverage": q_vocab_coverage,
         "triangle_count": q_triangle_count,
         "pagerank_domains": q_pagerank_domains,
         "prefix_filter_pairs": q_prefix_filter_pairs,
-        "dedup_clusters_star": q_dedup_clusters_star,
         "pivot_agg": q_pivot_agg,
         "quality_gate": q_quality_gate,
         "quantile_summary": q_quantile_summary,
@@ -3281,7 +3301,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": q_string_funcs,
         "value_histogram": q_value_histogram,
         "ann_topk": q_ann_topk,
-        "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
         "bpe_merges": q_bpe_merges,
         "dataset_split": q_dataset_split,

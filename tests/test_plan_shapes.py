@@ -444,13 +444,18 @@ def test_kmv_set_ops_sketch_joins_are_small(spark, sf001):
 def test_bloom_prune_bits_are_broadcast_and_fact_never_width_shuffles(
     spark, sf001
 ):
-    """The point of Bloom pruning: the bit set (and the dim) reach the
-    fact side as broadcasts; the fact table itself is never sort-merge
-    joined."""
+    """The point of Bloom pruning: the m-bit filter is a literal bitmap
+    probed scan-side (round 6 — no bits join at all), the dim truth
+    join is a broadcast, and the fact table is never sort-merge joined
+    or exchanged at full width."""
     df = entry.q_bloom_prune(spark, sf001)
     plan = plan_of(df, mode="simple")
-    assert plan.count("BroadcastHashJoin") >= 2  # bits join + truth join
+    assert plan.count("BroadcastHashJoin") >= 1  # truth join
+    assert "getbit" in plan  # literal-bitmap probe, codegen scan-side
     assert "SortMergeJoin" not in plan
+    # no fact-keyed exchange: the only hash exchanges allowed are the
+    # scalar-agg SinglePartition collapse
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_countmin_probe_joins_broadcast_cells(spark, sf001):
