@@ -741,13 +741,21 @@ def _cc_neighbors(und: DataFrame) -> DataFrame:
 def _cc_large_star(und: DataFrame) -> DataFrame:
     """Large-Star (Kiveris et al., "Connected Components in MapReduce
     and Beyond"): every node attaches its LARGER neighbors to the
-    minimum of its neighborhood (incl. itself) — one partial-agg min +
-    one join, both keyed on the node."""
+    minimum of its neighborhood (incl. itself).
+
+    The neighborhood minimum is a node-keyed WINDOW min in place of
+    the former groupBy-min + rejoin (the BASELINE round-3 'df-in-place'
+    pattern): one exchange on v instead of two, same rows. Skew parity:
+    the former join ALSO moved every adjacency row of a hub node to one
+    reduce partition, so the window changes nothing about hub data
+    movement — it adds only a spillable local sort within the v-group
+    (WindowExec's buffered-group array spills to disk)."""
     nbr = _cc_neighbors(und)
-    m = nbr.groupBy("v").agg(F.min("u").alias("_mn"))
-    m = m.select("v", F.least(F.col("_mn"), F.col("v")).alias("m"))
+    m = F.least(
+        F.min("u").over(Window.partitionBy("v")), F.col("v")
+    )
     out = (
-        nbr.join(m, "v")
+        nbr.withColumn("m", m)
         .filter(F.col("u") > F.col("v"))
         .select(F.col("u").alias("x"), F.col("m").alias("y"))
     )
@@ -757,16 +765,20 @@ def _cc_large_star(und: DataFrame) -> DataFrame:
 def _cc_small_star(und: DataFrame) -> DataFrame:
     """Small-Star: every node rewires its SMALLER neighbors (and itself)
     to the minimum among them. Each edge is processed from its larger
-    endpoint, so the union covers the whole edge set."""
+    endpoint, so the union covers the whole edge set.
+
+    Window-min in place of groupBy-min + rejoin (see _cc_large_star);
+    the (v, min) self-attachment leg emits one row per adjacency row
+    instead of one per node — the duplicates collapse in
+    _cc_normalize's distinct, which the output pays anyway."""
     nbr = _cc_neighbors(und)
-    small = nbr.filter(F.col("u") < F.col("v"))
-    m = small.groupBy("v").agg(F.min("u").alias("_mn"))
-    out = (
-        small.join(m, "v")
-        .select(F.col("u").alias("x"), F.col("_mn").alias("y"))
-        .unionByName(
-            m.select(F.col("v").alias("x"), F.col("_mn").alias("y"))
-        )
+    small = nbr.filter(F.col("u") < F.col("v")).withColumn(
+        "_mn", F.min("u").over(Window.partitionBy("v"))
+    )
+    out = small.select(
+        F.col("u").alias("x"), F.col("_mn").alias("y")
+    ).unionByName(
+        small.select(F.col("v").alias("x"), F.col("_mn").alias("y"))
     )
     return _cc_normalize(out)
 
