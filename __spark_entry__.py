@@ -817,50 +817,41 @@ def q_kmv_set_ops(spark, sf_dir):
     lvl1 = gh.groupBy("lang", F.pmod(F.col("h"), F.lit(64)).alias("b")).agg(
         F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("hs")
     )
-    sk = (
-        lvl1.groupBy("lang")
-        .agg(
-            F.slice(
-                F.array_sort(F.flatten(F.collect_list("hs"))), 1, _KMV_K
-            ).alias("hs")
-        )
-        .select("lang", F.explode("hs").alias("h"))
+    sk = lvl1.groupBy("lang").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("hs"))), 1, _KMV_K
+        ).alias("hs")
     )
+    # Pair merge as ARRAY ALGEBRA on the (one-row-per-language) sketch
+    # table: joining the 3-row pair list against the sketch arrays
+    # twice (both broadcast) and computing the union min-k with
+    # array_union/array_sort/slice replaces the former
+    # explode -> union -> groupBy(h) -> groupBy(pair) chain — four
+    # exchanges and two aggregation jobs on the job floor, for
+    # identical semantics (sketches are distinct-h sets, so the sorted
+    # union's first k structs == the former per-pair min-k merge).
+    # Constant work per pair regardless of corpus size either way; the
+    # array form is one projection.
     pairs = spark.createDataFrame(list(_KMV_PAIRS), "lang_a string, lang_b string")
-    side_a = pairs.join(sk, sk["lang"] == pairs["lang_a"]).select(
-        "lang_a", "lang_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
-    )
-    side_b = pairs.join(sk, sk["lang"] == pairs["lang_b"]).select(
-        "lang_a", "lang_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
-    )
-    merged = (
-        side_a.unionByName(side_b)
-        .groupBy("lang_a", "lang_b", "h")
-        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
-    )
-    # union min-k: merged is <= 2k rows per pair (built from k-sized
-    # sketches), so one bounded agg replaces the former per-pair window
+    ska = sk.select(F.col("lang").alias("lang_a"), F.col("hs").alias("hs_a"))
+    skb = sk.select(F.col("lang").alias("lang_b"), F.col("hs").alias("hs_b"))
+    top = F.slice(F.array_sort(F.array_union("hs_a", "hs_b")), 1, _KMV_K)
     est = (
-        merged.groupBy("lang_a", "lang_b")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("h", "in_a", "in_b"))
-                ),
-                1,
-                _KMV_K,
-            ).alias("top")
-        )
+        pairs.join(F.broadcast(ska), "lang_a")
+        .join(F.broadcast(skb), "lang_b")
+        .select("lang_a", "lang_b", top.alias("top"), "hs_a", "hs_b")
         .select(
             "lang_a",
             "lang_b",
-            F.element_at(F.col("top"), -1)["h"].alias("kth"),
+            F.element_at(F.col("top"), -1).alias("kth"),
             F.size("top").cast("long").alias("m"),
-            F.aggregate(
-                "top",
-                F.lit(0).cast("long"),
-                lambda acc, s: acc + (s["in_a"] * s["in_b"]).cast("long"),
-            ).alias("n_common"),
+            F.size(
+                F.array_intersect(
+                    "top", F.array_intersect("hs_a", "hs_b")
+                )
+            )
+            .cast("long")
+            .alias("n_common"),
         )
     )
     est_union = F.when(F.col("m") < _KMV_K, F.col("m").cast("double")).otherwise(
