@@ -99,8 +99,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_pricing_summary(spark, sf_dir):
-    """TPC-H Q1-style aggregate (agg.count_by_key generalization)."""
-    li = _tp(spark, sf_dir, "lineitem")
+    """TPC-H Q1-style aggregate (agg.count_by_key generalization).
+
+    Plain scan, no spread(): a scan+partial-agg needs no repartition —
+    the round-robin exchange shuffled the full fact table to buy
+    parallelism the map-side combine doesn't need (measured 0.66 s ->
+    0.32 s at sf0.1; on a real cluster the scan arrives pre-split and
+    spread() is a no-op anyway, so this only changes the single-file
+    local shape)."""
+    li = _t(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -359,7 +366,7 @@ def q_pq_code_histogram(spark, sf_dir):
     4 sub-codes (argmax quantized inner product against the per-subspace
     codebook). 64 floats -> 4 small ints per vector — the compression
     that fits a 100 TB embedding corpus into cluster RAM."""
-    emb = _tp(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     return S.pq_code_histogram(emb)
 
 
@@ -369,7 +376,7 @@ def q_ann_pq_adc(spark, sf_dir):
     approximate inner product is 4 integer adds over its codes — no
     per-pair dim-wide math. Integer-quantized partials make the
     cross-subspace sum order-independent (exact cross-engine)."""
-    emb = _tp(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ann_pq_adc(queries, emb, k=5)
 
@@ -379,7 +386,7 @@ def q_ann_pq_rerank(spark, sf_dir):
     (integer-table lookups, no per-pair dim-wide math), then ONLY those
     pairs get the exact full-dimension cosine and the top-5 ranks on the
     exact score — the production coarse-then-rerank ANN shape."""
-    emb = _tp(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     return S.ann_pq_rerank(queries, emb, k=5, shortlist=20)
 
@@ -409,7 +416,11 @@ def q_ann_pq_recall(spark, sf_dir):
     partition."""
     emb = _tp(spark, sf_dir, "embeddings")
     return S.ann_pq_recall_report(
-        emb.filter(F.col("vec_id") < 20), emb, k=5, shortlist=20
+        emb.filter(F.col("vec_id") < 20),
+        emb,
+        k=5,
+        shortlist=20,
+        model_corpus=_t(spark, sf_dir, "embeddings"),
     )
 
 
@@ -1049,14 +1060,14 @@ def q_cosine_neardup_lsh(spark, sf_dir):
 
 
 def q_lsh_bucket_counts(spark, sf_dir):
-    return S.lsh_bucket_counts(_tp(spark, sf_dir, "embeddings"))
+    return S.lsh_bucket_counts(_t(spark, sf_dir, "embeddings"))
 
 
 def q_ann_ivf_probe(spark, sf_dir):
     """IVF probe ANN: assign each query to its nearest quantized-mean
     centroid, exact-search only that cluster (operators/similarity.py
     ann_ivf_probe). The scale path for ann_topk — Q x N/#clusters pairs."""
-    emb = _tp(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     centroids = _ivf_centroid_arrays(spark, sf_dir)
     return S.ann_ivf_probe(
         emb.filter(F.col("vec_id") < 20), emb, centroids, k=5
@@ -1068,7 +1079,7 @@ def q_ann_ivf_multiprobe(spark, sf_dir):
     each query exact-searches its TWO nearest clusters. Cost grows
     linearly with nprobe; recall approaches brute force (measured by
     ann_recall_multiprobe against the exact top-5)."""
-    emb = _tp(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     centroids = _ivf_centroid_arrays(spark, sf_dir)
     return S.ann_ivf_probe(
         emb.filter(F.col("vec_id") < 20), emb, centroids, k=5, nprobe=2
@@ -1098,7 +1109,7 @@ def q_kmeans_refine(spark, sf_dir):
     the left-fold double discipline so the DuckDB CTE chain reproduces
     it bit-identically. Output: member count + vec_id checksum per
     final cluster."""
-    emb = _tp(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings")
     cent0 = _ivf_centroid_arrays(spark, sf_dir)
     assigned = S.kmeans_lloyd(emb, cent0, iters=2)
     return assigned.groupBy("cluster").agg(
@@ -1755,7 +1766,12 @@ def q_sink_table_roundtrip(spark, sf_dir):
 
     out = _validation_outputs(spark, sf_dir)
     path = f"/tmp/hri-sink-roundtrip-{os.path.basename(sf_dir.rstrip('/'))}"
-    write_table(out.invalid, path)
+    # One output file per ~32k envelope rows instead of one per upstream
+    # task: the invalid side is a sliver of the input, and 32 kilobyte
+    # files cost 32 commit-protocol rounds (measured ~0.25 s at sf0.1).
+    # The explicit exchange is the write-side equivalent of AQE
+    # coalescing; production sizing would use maxRecordsPerFile on top.
+    write_table(out.invalid.repartition(2), path)
     back = spark.read.parquet(path)
     return back.agg(
         F.count(F.lit(1)).alias("n_rows"),

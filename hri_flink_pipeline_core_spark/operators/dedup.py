@@ -572,24 +572,23 @@ def span_cut_text(
     Output: (doc_id, clean_text, n_kept, n_dropped); fully-duplicated
     docs keep an empty clean_text row (n_kept = 0).
 
-    Scale shape: ONE corpus explode — each token row carries both the
-    token (for the rewrite) and, at shingle-valid positions, the k-gram
-    hash (for span detection); the shared (doc_id, tpos, token, h) table
-    is persisted and feeds the dup-shingle aggregate, the membership
-    semi-join, AND the kept-token anti-join (previously span detection
-    and the cut each exploded the corpus separately). Covered token
-    positions explode from the span table (volume ∝ duplicated text,
-    not corpus); the kept-token filter is a doc/pos-keyed LEFT ANTI
-    shuffle join of the token stream (the one corpus-scale exchange —
-    inherent, the op rewrites every doc); the reassembly groupBy shares
-    the doc key. collect_list holds one doc's surviving tokens — bounded
-    by max doc length, same budget every per-doc window op in the engine
-    already assumes."""
-    # One explode, two derived streams. Shingle parity with
-    # shingle_str_rows (text.py): valid shingle positions are
-    # 0..greatest(n-k, 0) — n>=k gives n-k+1 k-grams; 0<n<k gives one
-    # catch-all shingle at pos 0 (out-of-range F.get -> null, concat_ws
-    # skips); n==0 produces no rows at all.
+    Scale shape: ONE skinny corpus explode — (doc_id, pos, h) shingle
+    rows feed the dup-shingle aggregate and the membership semi-join
+    (span detection, the only corpus-scale exchanges). The CUT never
+    explodes or shuffles the corpus at all: each doc's covered ranges
+    collapse to one small array (span rows per doc, not covered
+    positions), join back to the docs on doc_id, and the token rewrite
+    is a positional array filter inside the row — the former
+    covered-position explode + (doc, pos) anti-join + collect_list
+    reassembly moved three corpus-sized exchanges for the same answer
+    (measured 2.5 s -> ~1.2 s at sf0.1). Per-row cost is
+    O(tokens x ranges-in-THIS-doc); the ranges array is bounded by the
+    doc's own span count — the same per-doc budget every window op in
+    the engine already assumes."""
+    # Shingle parity with shingle_str_rows (text.py): valid shingle
+    # positions are 0..greatest(n-k, 0) — n>=k gives n-k+1 k-grams;
+    # 0<n<k gives one catch-all shingle at pos 0 (out-of-range F.get ->
+    # null, concat_ws skips); n==0 produces no rows at all.
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     )
@@ -603,51 +602,36 @@ def span_cut_text(
     shingle = F.concat_ws(
         " ", *[F.get(F.col("_toks"), F.col("tpos") + F.lit(off)) for off in range(k)]
     )
-    # localCheckpoint: the token/shingle stream feeds span detection AND
-    # the cut's anti-join — one materialization, flat leaf for both
-    # consumers (round-5 rationale)
-    tok_sh = exploded.select(
-        "doc_id",
-        "tpos",
-        "token",
-        F.when(
-            F.col("tpos") <= F.greatest(F.col("_n") - k, F.lit(0)),
-            hash32(shingle),
-        ).alias("h"),
-    ).transform(checkpoint_small)
-    sh = tok_sh.filter(F.col("h").isNotNull()).select(
-        "doc_id", F.col("tpos").alias("pos"), "h"
+    # localCheckpoint: the shingle-hash stream feeds the dup-shingle
+    # aggregate AND the membership semi-join — one materialization,
+    # flat leaf for both consumers (round-5 rationale)
+    sh = (
+        exploded.filter(F.col("tpos") <= F.greatest(F.col("_n") - k, F.lit(0)))
+        .select("doc_id", F.col("tpos").alias("pos"), hash32(shingle).alias("h"))
+        .transform(checkpoint_small)
     )
     spans = _spans_from_hits(_dup_shingle_hits(sh, min_docs))
-    covered = spans.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end") + F.lit(k - 1))
-        ).alias("tpos"),
-    ).distinct()
-    toks = tok_sh.select("doc_id", "tpos", "token")
-    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
-    clean = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("tpos", "token"))),
-                lambda s: s["token"],
-            ),
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    # per-doc covered ranges: tiny (span rows, not covered positions)
+    ranges = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_end") + F.lit(k - 1)).alias("e"),
+            )
+        ).alias("_rng")
     )
-    totals = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).alias("_n_total"),
+    j = base.join(ranges, "doc_id", "left")
+    covered = lambda i: F.exists(  # noqa: E731 - positional coverage test
+        F.col("_rng"), lambda r: (i >= r["s"]) & (i <= r["e"])
     )
-    return totals.join(clean, "doc_id", "left").select(
+    kept = F.when(F.col("_rng").isNull(), F.col("_toks")).otherwise(
+        F.filter(F.col("_toks"), lambda t, i: ~covered(i))
+    )
+    return j.select(
         "doc_id",
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
-        (F.col("_n_total") - F.coalesce(F.col("n_kept"), F.lit(0).cast("long")))
-        .cast("long")
-        .alias("n_dropped"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_dropped"),
     )
 
 

@@ -549,6 +549,7 @@ def ann_pq_recall_report(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    model_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """Per-query recall of PQ shortlist+rerank against exact brute
     force, in ONE corpus pass (round 6 — the two-leg form ran the
@@ -563,8 +564,20 @@ def ann_pq_recall_report(
     shortlist, rank-by-exact-within-shortlist is the rerank, and
     rank-by-exact over everything is the truth set. Falls back to the
     composed two-leg operators when the codebooks exceed the literal
-    budget."""
-    books = collect_codebooks(pq_codebooks(corpus, label_col, vec_col))
+    budget.
+
+    ``model_corpus`` (optional) is a possibly differently-partitioned
+    view of the SAME rows used only for the codebook build: the build
+    is a map-side-collapsing partial agg that gains nothing from a
+    repartitioned scan, while the exact-cosine leg does — callers can
+    pass the plain scan here and the spread one as ``corpus``."""
+    books = collect_codebooks(
+        pq_codebooks(
+            corpus if model_corpus is None else model_corpus,
+            label_col,
+            vec_col,
+        )
+    )
     if books is None:
         bf = ann_topk_bruteforce(
             queries, corpus, k=k, query_id=query_id,

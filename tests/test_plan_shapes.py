@@ -307,15 +307,16 @@ def test_duplicate_spans_single_window_partitioning(spark, sf001):
 
 
 def test_span_cut_single_corpus_explode(spark, sf001):
-    """span_cut_text must derive BOTH the shingle-hash stream (span
-    detection) and the token stream (the cut's anti-join) from ONE
-    materialized corpus explode (localCheckpoint -> flat LogicalRDD
-    leaf since round 5): no posexplode Generate remains anywhere in the
-    plan — the explode executed exactly once at checkpoint time and all
-    three consumers read the checkpointed rows."""
+    """span_cut_text's only corpus explode is the shingle-hash stream
+    (checkpointed; both span-detection consumers read the flat leaf),
+    and the CUT side never explodes or anti-joins the token stream at
+    all (round 7): the rewrite is a positional array filter against the
+    per-doc covered-ranges array, so no posexplode Generate and no
+    (doc, pos)-keyed anti-join appear anywhere in the final plan."""
     plan = plan_of(entry.q_span_cut_text(spark, sf001), mode="simple")
     assert plan.count("Generate posexplode") == 0
-    assert plan.count("Scan ExistingRDD") >= 3
+    assert plan.count("Scan ExistingRDD") >= 2
+    assert "LeftAnti" not in plan
 
 
 def test_winsorized_bounds_are_broadcast(spark, sf001):
@@ -602,19 +603,45 @@ def test_prefix_filter_single_corpus_explode(spark, sf001):
     # (the k centroids) is now a driver-side LITERAL per Lloyd round —
     # the final plan is one corpus scan + literal expressions, no
     # checkpointed leaf at all (see test_kmeans_refine_literal_model).
-    [("pagerank_domains", 1), ("incremental_neardup", 1)],
+    # pagerank_domains dropped round 7: at the fixed-2-iteration default
+    # the loop-invariant node/edge tables are deliberately NOT
+    # checkpointed — ReuseExchange dedups their repeated subtrees inside
+    # one job and the two materialization job-sets were pure overhead
+    # (graph.py pagerank rationale); >2-iteration callers still get the
+    # flat leaves (see test_pagerank_long_loop_checkpoints).
+    [("incremental_neardup", 1)],
 )
 def test_iterative_queries_have_flat_checkpointed_leaves(
     spark, sf001, qname, n_rdd_scans
 ):
-    """Round-5 lineage flattening: iterative operators (pagerank rounds,
-    kmeans centroid refinement, cross-corpus candidate verify) read
-    their loop-carried tables from localCheckpoint-ed LogicalRDD leaves
-    — Catalyst must not re-walk (or re-execute) the generation tree at
-    each round's joins."""
+    """Round-5 lineage flattening: iterative operators (long pagerank
+    loops, kmeans centroid refinement, cross-corpus candidate verify)
+    read their loop-carried tables from localCheckpoint-ed LogicalRDD
+    leaves — Catalyst must not re-walk (or re-execute) the generation
+    tree at each round's joins."""
     df = entry.queries()[qname](spark, sf001)
     plan = plan_of(df, mode="simple")
     assert plan.count("Scan ExistingRDD") >= n_rdd_scans
+
+
+def test_pagerank_long_loop_checkpoints(spark, sf001):
+    """Loops longer than the 2-iteration default DO checkpoint the
+    loop-invariant node/edge tables (flat LogicalRDD leaves), keeping
+    per-round analysis O(round); the short default instead relies on
+    ReuseExchange inside one job (graph.py rationale)."""
+    from hri_flink_pipeline_core_spark.operators.graph import pagerank
+    from hri_flink_pipeline_core_spark.session import read_table
+    from pyspark.sql import functions as F
+
+    o = read_table(spark, sf001, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 97).alias("src"),
+        (F.col("o_orderkey") % 97).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    long_plan = plan_of(pagerank(edges, iterations=3), mode="simple")
+    assert long_plan.count("Scan ExistingRDD") >= 1
+    short_plan = plan_of(pagerank(edges, iterations=2), mode="simple")
+    assert "Scan ExistingRDD" not in short_plan
 
 
 def test_kmeans_refine_literal_model(spark, sf001):
