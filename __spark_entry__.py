@@ -745,21 +745,33 @@ def q_kmv_distinct(spark, sf_dir):
     """KMV (k-minimum-values) distinct-count sketch per event_type, with
     the exact count alongside. The deterministic md5-based hash makes the
     sketch identical across engines (and across partitionings — unlike
-    HLL, whose merge order can differ). Scale path: the k-smallest pass
-    is distinct + per-key window top-k, both partial-aggregated before
-    the shuffle; estimate = (k-1) * 2^60 / kth_min_hash."""
-    from pyspark.sql import Window as SW
-
+    HLL, whose merge order can differ). Scale path: two-level bucketed
+    partial min-k (the kmv_set_ops shape, round 6): level 1 keeps each
+    (event_type, h%64)'s k smallest via a map-side-collapsing agg
+    (per-task buffer bounded by distinct/64), level 2 merges the 64
+    bounded slices per key — no per-key-data-sized window sort
+    anywhere; estimate = (k-1) * 2^60 / kth_min_hash. Replaces the
+    former partitioned row_number window over the full distinct-hash
+    table (SURVEY round-7 item)."""
     ev = _t(spark, sf_dir, "events")
     dh = ev.select(
         "event_type", TX.hash60(F.col("user_id").cast("string")).alias("h")
-    ).distinct()
-    w = SW.partitionBy("event_type").orderBy("h")
-    kmin = dh.select(
-        "event_type", "h", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= _KMV_K)
-    est = kmin.groupBy("event_type").agg(
-        F.max("h").alias("kth"), F.count(F.lit(1)).alias("m")
+    )
+    lvl1 = dh.groupBy(
+        "event_type", F.pmod(F.col("h"), F.lit(64)).alias("b")
+    ).agg(F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("hs"))
+    est = (
+        lvl1.groupBy("event_type")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("hs"))), 1, _KMV_K
+            ).alias("hs")
+        )
+        .select(
+            "event_type",
+            F.element_at(F.col("hs"), -1).alias("kth"),
+            F.size("hs").cast("long").alias("m"),
+        )
     )
     exact = ev.groupBy("event_type").agg(
         F.count_distinct(F.col("user_id")).alias("n_exact")
@@ -3260,6 +3272,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so these displace the two unchanged r2-green media keys
         "bloom_prune": q_bloom_prune,
         "dedup_clusters_star": q_dedup_clusters_star,
+        # round-7-modified keys (plan rewrites this round — modified
+        # outranks stale): plain-scan pricing_summary, 2-file sink
+        # write, conditional pagerank checkpoints, kmv_distinct
+        # bucketed min-k, plain-scan lsh_bucket_counts
+        "pricing_summary": q_pricing_summary,
+        "sink_table_roundtrip": q_sink_table_roundtrip,
+        "pagerank_domains": q_pagerank_domains,
+        "kmv_distinct": q_kmv_distinct,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
         # -- (1) stalest driver rows: all r1 keys, then judge-named r2
         #    (TPC-H / window family), then remaining r2 --
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
@@ -3283,7 +3304,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "hash_sample": q_hash_sample,
         "json_array_funcs": q_json_array_funcs,
-        "lsh_bucket_counts": q_lsh_bucket_counts,
         # -- (2) checkpoint-seam-only keys with fresh r4/r5 rows and the
         #    two r2-green media keys displaced by late-r6 rewrites
         #    (spilled to r7 by design) + (3) rest, oldest first --
@@ -3291,7 +3311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_decode_features": q_media_decode_features,
         "vocab_coverage": q_vocab_coverage,
         "triangle_count": q_triangle_count,
-        "pagerank_domains": q_pagerank_domains,
         "prefix_filter_pairs": q_prefix_filter_pairs,
         "pivot_agg": q_pivot_agg,
         "quality_gate": q_quality_gate,
@@ -3349,7 +3368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "interval_join_anchor_windows": q_interval_join_anchor_windows,
         "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
-        "kmv_distinct": q_kmv_distinct,
         "lang_id": q_lang_id,
         "latest_per_key": q_latest_per_key,
         "merge_upsert": q_merge_upsert,
@@ -3358,13 +3376,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pmi_bigrams": q_pmi_bigrams,
         "posting_lists": q_posting_lists,
-        "pricing_summary": q_pricing_summary,
         "repetition_score": q_repetition_score,
         "resample_ffill": q_resample_ffill,
         "rolling_zscore": q_rolling_zscore,
         "route_counts": q_route_counts,
         "salted_join_skewed": q_salted_join_skewed,
-        "sink_table_roundtrip": q_sink_table_roundtrip,
         "skew_profile": q_skew_profile,
         "snapshot_diff": q_snapshot_diff,
         "term_topk": q_term_topk,

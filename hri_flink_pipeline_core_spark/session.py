@@ -40,6 +40,28 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Respect the advisory size when coalescing instead of
+        # maximizing parallelism: Spark's own guidance for non-idle
+        # clusters — the default parallelismFirst=true splinters
+        # kilobyte shuffles into per-core tasks whose scheduling
+        # overhead dominates at the job floor. The advisory size is
+        # sized to the DATA SCALE the session processes: local sf0.1
+        # shuffles are kilobytes-to-tens-of-MB, so 2 MB keeps mid-size
+        # CPU-dense exchanges (shingle distincts, vocabulary aggs)
+        # parallel while one-task-ing the kilobyte ones (same-session
+        # paired measurement, round 7: -24% across a 15-query
+        # regression+floor mix vs parallelismFirst=true, with NO query
+        # slower; the first attempt with the 64 MB production default
+        # serialized a ~50 MB distinct onto one core — prefix_filter
+        # +3.6 s — which is why this is env-tunable, production 64m).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            "false",
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")

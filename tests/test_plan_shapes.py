@@ -442,6 +442,16 @@ def test_kmv_set_ops_sketch_joins_are_small(spark, sf001):
     assert "Window" not in plan
 
 
+def test_kmv_distinct_no_window(spark, sf001):
+    """kmv_distinct (round 7, SURVEY round-7 item): the per-event_type
+    k-minima come from the same two-level bucketed partial min-k as
+    kmv_set_ops — no partitioned row_number window over the
+    distinct-hash table remains."""
+    plan = plan_of(entry.q_kmv_distinct(spark, sf001), mode="simple")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_bloom_prune_bits_are_broadcast_and_fact_never_width_shuffles(
     spark, sf001
 ):
