@@ -881,22 +881,40 @@ def q_kmv_set_ops(spark, sf_dir):
         F.lit(float(_KMV_K - 1) * 2.0**60) / F.col("kth").cast("double")
     )
     # exact ground truth straight off the checkpointed gram -> language
-    # table: the per-gram language array is tiny (<= n_langs elements),
-    # the pair expansion is a broadcast of the 3-row pair table, and
-    # the membership flags collapse in a map-side partial agg.
-    ina = F.array_contains("ls", F.col("lang_a"))
-    inb = F.array_contains("ls", F.col("lang_b"))
-    exact = (
-        gm.crossJoin(F.broadcast(pairs))
-        .filter(ina | inb)
-        .groupBy("lang_a", "lang_b")
-        .agg(
-            F.count(F.lit(1)).alias("exact_union"),
-            F.sum(F.when(ina & inb, 1).otherwise(0)).alias(
-                "exact_intersect"
-            ),
+    # table, as ONE scalar aggregation: per pair, union/intersect counts
+    # are two conditional sums over the per-gram language array, so all
+    # three pairs fit in a single 6-sum pass (map-side partial agg, one
+    # row out) reshaped to (lang_a, lang_b) rows — the former broadcast
+    # crossJoin fanned the vocabulary out 3x and paid a keyed shuffle
+    # for what a scalar agg does in-place.
+    def _inx(lang):
+        return F.array_contains("ls", F.lit(lang))
+
+    sums = []
+    for la, lb in _KMV_PAIRS:
+        tag = f"{la}_{lb}"
+        sums.append(
+            F.sum(F.when(_inx(la) | _inx(lb), 1).otherwise(0)).alias(f"_u_{tag}")
         )
-    )
+        sums.append(
+            F.sum(F.when(_inx(la) & _inx(lb), 1).otherwise(0)).alias(f"_i_{tag}")
+        )
+    scalar = gm.agg(*sums)
+    exact = scalar.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(la).alias("lang_a"),
+                        F.lit(lb).alias("lang_b"),
+                        F.col(f"_u_{la}_{lb}").alias("exact_union"),
+                        F.col(f"_i_{la}_{lb}").alias("exact_intersect"),
+                    )
+                    for la, lb in _KMV_PAIRS
+                ]
+            )
+        ).alias("_e")
+    ).select("_e.lang_a", "_e.lang_b", "_e.exact_union", "_e.exact_intersect")
     withest = est.select(
         "lang_a",
         "lang_b",

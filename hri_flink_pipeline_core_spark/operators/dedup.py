@@ -733,7 +733,16 @@ def _cc_large_star(und: DataFrame) -> DataFrame:
     the former join ALSO moved every adjacency row of a hub node to one
     reduce partition, so the window changes nothing about hub data
     movement — it adds only a spillable local sort within the v-group
-    (WindowExec's buffered-group array spills to disk)."""
+    (WindowExec's buffered-group array spills to disk).
+
+    Output is CANONICAL (a < b, loops dropped) but NOT deduplicated
+    (round 7): the only consumer is the small-star half of the same
+    round, whose window mins are idempotent to duplicate adjacency
+    rows, and the round's trailing _cc_normalize dedups anyway — the
+    intermediate distinct was one exchange per round for nothing. The
+    duplicate factor entering small-star is bounded by the large-star
+    fan-in (several nodes attaching the same (u, m) edge), the same
+    volume the distinct itself had to shuffle."""
     nbr = _cc_neighbors(und)
     m = F.least(
         F.min("u").over(Window.partitionBy("v")), F.col("v")
@@ -743,7 +752,10 @@ def _cc_large_star(und: DataFrame) -> DataFrame:
         .filter(F.col("u") > F.col("v"))
         .select(F.col("u").alias("x"), F.col("m").alias("y"))
     )
-    return _cc_normalize(out)
+    # canonicalize without the distinct
+    return out.filter(F.col("x") != F.col("y")).select(
+        F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+    )
 
 
 def _cc_small_star(und: DataFrame) -> DataFrame:
