@@ -129,19 +129,17 @@ def _py_norm(vals) -> float:
 
 
 def _collect_no_aqe(df: DataFrame):
-    """Driver-side collect of a KILOBYTE model table with AQE off for
-    just this action: AQE's staged execution turns a tiny two-stage agg
-    into 2-3 scheduler jobs (runtime re-planning buys nothing on k-row
-    outputs); results are identical, only the scheduling differs. The
-    session conf is restored immediately — lazy consumers of the same
-    session still get AQE."""
-    spark = df.sparkSession
-    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        return df.collect()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old)
+    """Driver-side collect of a KILOBYTE model table.
+
+    Historical name: through round 6 this disabled AQE for the action
+    (AQE's staged execution turned a tiny two-stage agg into 2-3
+    scheduler jobs). Round 7 re-measured under the advisory-sized
+    coalescing (session.py): the plain AQE collect is now FASTER
+    (0.27 s vs 0.33 s on the centroid build at sf0.1) because the
+    coalesced single-task reduce stages cost less than the 32-task
+    no-AQE shuffles the flag fell back to. Kept as the seam so the
+    model-collect policy stays one function."""
+    return df.collect()
 
 
 def collect_model_rows(
