@@ -2998,54 +2998,59 @@ def q_event_funnel(spark, sf_dir):
     earliest view, the earliest click STRICTLY AFTER that view, the
     earliest purchase strictly after that click; one summary row with
     step populations and conversion ratios — the product-analytics
-    staple, expressed as three filtered partial aggs + two user-keyed
-    joins (never a per-user sort of the whole event stream; each step's
-    agg sees only its event type). Integer-microsecond comparisons ->
-    exact cross-engine.
+    staple. Integer-microsecond comparisons -> exact cross-engine.
 
-    Scale shape: each step aggregates a TYPE-FILTERED slice (filter
-    pushed to the scan) keyed by user; joins are user-keyed and
-    step-N's input only shrinks. At 100 TB this is 3 partial-agg
-    shuffles of user-sized tables."""
+    Scale shape (round 7): ONE user-keyed shuffle — the scan keeps only
+    the three funnel event types (filter pushed down), each user's
+    (type, time) rows collect into a bounded per-user array (the same
+    per-user budget every window op in the engine assumes), and the
+    strictly-after step sequencing is array math inside the row; the
+    funnel summary is then a single scalar agg. The former shape (three
+    filtered partial aggs + two user-keyed joins + three scalar legs)
+    re-entered the step-1 subtree from five consumers — five exchanges
+    and a crossJoin tree for the same answer."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
+    ).filter(F.col("event_type").isin("view", "click", "purchase"))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "tus")).alias("_evs")
     )
-    v = (
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("tus").alias("t_view"))
-    )
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("tus") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("tus").alias("t_click"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("tus") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("tus").alias("t_purchase"))
-    )
-    n1 = v.agg(F.count(F.lit(1)).alias("n_view"))
-    n2 = c.agg(F.count(F.lit(1)).alias("n_click"))
-    n3 = p.agg(F.count(F.lit(1)).alias("n_purchase"))
-    return (
-        n1.crossJoin(n2)
-        .crossJoin(n3)
-        .select(
-            "n_view",
-            "n_click",
-            "n_purchase",
-            (F.col("n_click").cast("double") / F.col("n_view")).alias(
-                "conv_view_click"
-            ),
-            (F.col("n_purchase").cast("double") / F.col("n_click")).alias(
-                "conv_click_purchase"
-            ),
+
+    def step_min(etype, after=None):
+        cond = lambda e: (  # noqa: E731
+            (e["event_type"] == etype)
+            if after is None
+            else ((e["event_type"] == etype) & (e["tus"] > after))
         )
+        return F.array_min(
+            F.transform(F.filter(F.col("_evs"), cond), lambda e: e["tus"])
+        )
+
+    # chained projections so each step can reference the previous
+    # step's column (Catalyst collapses them into one Project)
+    stepped = (
+        per_user.select(step_min("view").alias("t_view"), "_evs")
+        .select("t_view", step_min("click", F.col("t_view")).alias("t_click"), "_evs")
+        .select(
+            "t_view",
+            "t_click",
+            step_min("purchase", F.col("t_click")).alias("t_purchase"),
+        )
+    )
+    return stepped.agg(
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_view"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias(
+            "n_purchase"
+        ),
+    ).select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        (F.col("n_click").cast("double") / F.col("n_view")).alias("conv_view_click"),
+        (F.col("n_purchase").cast("double") / F.col("n_click")).alias(
+            "conv_click_purchase"
+        ),
     )
 
 
