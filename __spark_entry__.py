@@ -3060,25 +3060,34 @@ def q_retention_cohorts(spark, sf_dir):
     size and the retained ratio. Weeks are INTEGER epoch-day div 7 (not
     date_trunc) so bucketing is engine- and locale-proof.
 
-    Scale shape: (user, week) presence is one distinct partial agg;
-    cohorts are a user-keyed min; the triangle is a second tiny agg —
-    all shuffles carry user- or cohort-sized rows, never raw events."""
+    Scale shape (round 7): ONE user-keyed shuffle — each user's active
+    weeks collect into a bounded set (≤ #weeks elements), the cohort is
+    the set's min, and the triangle explodes (cohort, offset) rows
+    straight off it — one row per (user, offset) by set construction,
+    so a plain count IS the distinct-user count. The former shape
+    (presence distinct + user-keyed min + a user-keyed join back +
+    count_distinct) paid two extra exchanges for the same rows."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.expr(
             "(unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000) div 7"
         ).alias("week"),
     )
-    uw = ev.distinct()
-    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    sizes = cohort.groupBy("cohort_week").agg(
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_set("week").alias("_ws")
+    ).select(F.array_min("_ws").alias("cohort_week"), "_ws")
+    sizes = per_user.groupBy("cohort_week").agg(
         F.count(F.lit(1)).alias("cohort_size")
     )
     tri = (
-        uw.join(cohort, "user_id")
-        .select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset_weeks"), "user_id")
+        per_user.select(
+            "cohort_week",
+            F.explode(
+                F.transform("_ws", lambda w: w - F.col("cohort_week"))
+            ).alias("offset_weeks"),
+        )
         .groupBy("cohort_week", "offset_weeks")
-        .agg(F.count_distinct("user_id").alias("n_active"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
     )
     return tri.join(F.broadcast(sizes), "cohort_week").select(
         "cohort_week",

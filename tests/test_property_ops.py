@@ -638,3 +638,145 @@ def test_countmin_never_undercounts(spark, stream):
     assert len(est) == len(exact)
     for r in est:
         assert r.cm_est >= exact[r.tok], (r.tok, r.cm_est, exact[r.tok])
+
+
+# --- round-7 array-shaped rewrites vs pure-Python references -----------------
+
+_span_texts = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(token_lists=_span_texts)
+@settings(**_SETTINGS)
+def test_span_cut_matches_python_reference(spark, token_lists):
+    """span_cut_text's round-7 shape (per-doc covered-ranges array +
+    positional array filter, no anti-join) vs a direct Python
+    re-implementation of the k-shingle / dup-span / cut definition —
+    on tiny-vocabulary corpora that force shared shingles, span merges,
+    adjacent runs, docs shorter than k, fully-covered docs and empty
+    docs."""
+    from hri_flink_pipeline_core_spark.operators.dedup import span_cut_text
+
+    k, min_docs = 3, 2
+    data = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in span_cut_text(df, k=k, min_docs=min_docs).collect()
+    }
+
+    # reference: same shingle-position definition as text.shingle_str_rows
+    # (valid positions 0..max(n-k, 0); n<k -> one catch-all shingle; n==0
+    # -> none), spans = maximal runs of dup positions, covered tokens =
+    # [start, end + k - 1]
+    shingle_docs: dict = {}
+    positions: dict = {}
+    for doc_id, toks in enumerate(token_lists):
+        n = len(toks)
+        ps = []
+        if n > 0:
+            for p in range(0, max(n - k, 0) + 1):
+                ps.append((p, " ".join(toks[p : p + k])))
+        positions[doc_id] = ps
+        for _, s in ps:
+            shingle_docs.setdefault(s, set()).add(doc_id)
+    expect = {}
+    for doc_id, toks in enumerate(token_lists):
+        hits = sorted(
+            p for p, s in positions[doc_id] if len(shingle_docs[s]) >= min_docs
+        )
+        covered: set = set()
+        run_start = None
+        prev = None
+        for p in hits + [None]:
+            if p is not None and prev is not None and p == prev + 1:
+                prev = p
+                continue
+            if prev is not None:
+                covered.update(range(run_start, prev + k))
+            run_start, prev = p, p
+        kept = [t for i, t in enumerate(toks) if i not in covered]
+        expect[doc_id] = (" ".join(kept), len(kept), len(toks) - len(kept))
+    assert got == expect
+
+
+_funnel_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user
+        st.sampled_from(["view", "click", "purchase", "other"]),
+        st.integers(0, 20),  # time
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(events=_funnel_events)
+@settings(**_SETTINGS)
+def test_event_funnel_matches_python_reference(spark, events):
+    """The round-7 single-shuffle funnel (per-user event array +
+    strictly-after array math) vs the direct per-user definition:
+    earliest view, earliest click strictly after it, earliest purchase
+    strictly after that — including users with ties, missing steps,
+    out-of-order arrivals and non-funnel event types."""
+    import __spark_entry__ as entry
+
+    if not events:
+        return
+    df = spark.createDataFrame(
+        [(u, t, ts * 1_000_000) for (u, t, ts) in events],
+        "user_id long, event_type string, tus long",
+    )
+    # run the same expressions q_event_funnel builds, on this frame
+    ev = df.filter(F.col("event_type").isin("view", "click", "purchase"))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("event_type", "tus")).alias("_evs")
+    )
+
+    def step_min(etype, after=None):
+        cond = lambda e: (  # noqa: E731
+            (e["event_type"] == etype)
+            if after is None
+            else ((e["event_type"] == etype) & (e["tus"] > after))
+        )
+        return F.array_min(
+            F.transform(F.filter(F.col("_evs"), cond), lambda e: e["tus"])
+        )
+
+    stepped = (
+        per_user.select(step_min("view").alias("t_view"), "_evs")
+        .select(
+            "t_view", step_min("click", F.col("t_view")).alias("t_click"), "_evs"
+        )
+        .select(
+            "t_view",
+            "t_click",
+            step_min("purchase", F.col("t_click")).alias("t_purchase"),
+        )
+    )
+    row = stepped.agg(
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("nv"),
+        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias("np"),
+    ).collect()[0]
+
+    nv = nc = np_ = 0
+    for u in {e[0] for e in events}:
+        mine = [(t, ts) for (uu, t, ts) in events if uu == u]
+        views = [ts for t, ts in mine if t == "view"]
+        if not views:
+            continue
+        nv += 1
+        tv = min(views)
+        clicks = [ts for t, ts in mine if t == "click" and ts > tv]
+        if not clicks:
+            continue
+        nc += 1
+        tc = min(clicks)
+        purchases = [ts for t, ts in mine if t == "purchase" and ts > tc]
+        if purchases:
+            np_ += 1
+    assert (row.nv, row.nc, row.np) == (nv, nc, np_)
