@@ -859,9 +859,23 @@ def q_kmv_set_ops(spark, sf_dir):
     ska = sk.select(F.col("lang").alias("lang_a"), F.col("hs").alias("hs_a"))
     skb = sk.select(F.col("lang").alias("lang_b"), F.col("hs").alias("hs_b"))
     top = F.slice(F.array_sort(F.array_union("hs_a", "hs_b")), 1, _KMV_K)
+    no_h = F.array().cast("array<bigint>")
     est = (
-        pairs.join(F.broadcast(ska), "lang_a")
-        .join(F.broadcast(skb), "lang_b")
+        # LEFT joins + either-side filter: a pair whose one language has
+        # no grams at all still gets its one-sided union estimate (the
+        # oracle's merged CTE emits it); only both-empty pairs drop —
+        # matching the former union-of-sides shape exactly. After the
+        # filter, `top` has >= 1 element, so element_at(top, -1) is
+        # ANSI-safe.
+        pairs.join(F.broadcast(ska), "lang_a", "left")
+        .join(F.broadcast(skb), "lang_b", "left")
+        .filter(F.col("hs_a").isNotNull() | F.col("hs_b").isNotNull())
+        .select(
+            "lang_a",
+            "lang_b",
+            F.coalesce("hs_a", no_h).alias("hs_a"),
+            F.coalesce("hs_b", no_h).alias("hs_b"),
+        )
         .select("lang_a", "lang_b", top.alias("top"), "hs_a", "hs_b")
         .select(
             "lang_a",
@@ -3037,12 +3051,13 @@ def q_event_funnel(spark, sf_dir):
             step_min("purchase", F.col("t_click")).alias("t_purchase"),
         )
     )
+    # count(col) (non-null count) — never NULL, so an events slice with
+    # zero funnel rows reports (0, 0, 0) exactly like the former
+    # count-based legs (round-7 review finding)
     return stepped.agg(
-        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("n_view"),
-        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias("n_click"),
-        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias(
-            "n_purchase"
-        ),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
     ).select(
         "n_view",
         "n_click",

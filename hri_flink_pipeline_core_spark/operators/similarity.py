@@ -128,17 +128,17 @@ def _py_norm(vals) -> float:
     return math.sqrt(acc)
 
 
-def _collect_no_aqe(df: DataFrame):
-    """Driver-side collect of a KILOBYTE model table.
+def _collect_model(df: DataFrame):
+    """Driver-side collect of a KILOBYTE model table — the one seam
+    every literal-model build goes through.
 
-    Historical name: through round 6 this disabled AQE for the action
-    (AQE's staged execution turned a tiny two-stage agg into 2-3
-    scheduler jobs). Round 7 re-measured under the advisory-sized
-    coalescing (session.py): the plain AQE collect is now FASTER
-    (0.27 s vs 0.33 s on the centroid build at sf0.1) because the
-    coalesced single-task reduce stages cost less than the 32-task
-    no-AQE shuffles the flag fell back to. Kept as the seam so the
-    model-collect policy stays one function."""
+    Through round 6 this disabled AQE for the action (AQE's staged
+    execution turned a tiny two-stage agg into 2-3 scheduler jobs).
+    Round 7 re-measured under the advisory-sized coalescing
+    (session.py): the plain AQE collect is FASTER (0.27 s vs 0.33 s on
+    the centroid build at sf0.1) because the coalesced single-task
+    reduce stages cost less than the 32-task no-AQE shuffles the flag
+    fell back to — so this is now a plain collect, renamed to match."""
     return df.collect()
 
 
@@ -151,7 +151,7 @@ def collect_model_rows(
     """Collect a k-bounded (label, vector) model table for literal
     plans; returns None when it exceeds the literal budget (callers
     fall back to the broadcast-join shape). One Spark job."""
-    rows = _collect_no_aqe(df.select(label_col, vec_col))
+    rows = _collect_model(df.select(label_col, vec_col))
     cells = sum(len(r[1]) for r in rows)
     if not rows or cells > max_cells:
         return None
@@ -1038,7 +1038,7 @@ def collect_codebooks(books_df: DataFrame):
     """Collect PQ codebooks (subspaces x k rows) for literal plans;
     None when over the literal budget (callers keep the join shape).
     Returns {sub: [(code, codeword)] sorted by code}."""
-    rows = _collect_no_aqe(books_df.select("sub", "code", "subcentroid"))
+    rows = _collect_model(books_df.select("sub", "code", "subcentroid"))
     if not rows or sum(len(r[2]) for r in rows) > LITERAL_MODEL_MAX_CELLS:
         return None
     by_sub: dict = {}

@@ -3,7 +3,7 @@
 variants. Diagnostic tool only (not part of the shipped engine).
 
 Usage: python profile_floor.py [variant] [query ...]
-  variant: base | coalesce | lowshuffle
+  variant: base | coalesce | lowshuffle | both | noaqe | noaqe16
 """
 from __future__ import annotations
 
@@ -83,7 +83,6 @@ def main() -> int:
             except Exception:
                 pass
             time.sleep(0.1)
-            jobs0 = tracker.getJobIdsForGroup(None)
             sc.setJobGroup(f"prof-{n}", n)
             t0 = time.perf_counter()
             df = queries[n](spark, SF_DIR)

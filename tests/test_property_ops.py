@@ -722,8 +722,6 @@ def test_event_funnel_matches_python_reference(spark, events):
     earliest view, earliest click strictly after it, earliest purchase
     strictly after that — including users with ties, missing steps,
     out-of-order arrivals and non-funnel event types."""
-    import __spark_entry__ as entry
-
     if not events:
         return
     df = spark.createDataFrame(
@@ -757,10 +755,12 @@ def test_event_funnel_matches_python_reference(spark, events):
             step_min("purchase", F.col("t_click")).alias("t_purchase"),
         )
     )
+    # count(col) never returns NULL, so an only-'other' event list gives
+    # (0, 0, 0) — matching the Python reference (round-7 review finding)
     row = stepped.agg(
-        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("nv"),
-        F.sum(F.when(F.col("t_click").isNotNull(), 1).otherwise(0)).alias("nc"),
-        F.sum(F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)).alias("np"),
+        F.count("t_view").alias("nv"),
+        F.count("t_click").alias("nc"),
+        F.count("t_purchase").alias("np"),
     ).collect()[0]
 
     nv = nc = np_ = 0
