@@ -3328,6 +3328,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_domains": q_pagerank_domains,
         "kmv_distinct": q_kmv_distinct,
         "lsh_bucket_counts": q_lsh_bucket_counts,
+        # late-round-7 single-shuffle rewrites (array-shaped funnel and
+        # retention) — modified outranks stale
+        "event_funnel": q_event_funnel,
+        "retention_cohorts": q_retention_cohorts,
         # -- (1) stalest driver rows: all r1 keys, then judge-named r2
         #    (TPC-H / window family), then remaining r2 --
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
@@ -3378,10 +3382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "dataset_split": q_dataset_split,
         "dedup_keep_best": q_dedup_keep_best,
-        "event_funnel": q_event_funnel,
         "event_transitions": q_event_transitions,
         "media_exact_dedup": q_media_exact_dedup,
-        "retention_cohorts": q_retention_cohorts,
         "sessionize_events": q_sessionize_events,
         "shard_assignment": q_shard_assignment,
         "text_stats": q_text_stats,
