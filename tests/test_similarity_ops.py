@@ -197,3 +197,58 @@ def test_ann_topk_blas_guards_large_query_side(spark, monkeypatch):
     # under the cap it runs
     monkeypatch.setattr(S, "MAX_BLAS_QUERIES", 100)
     assert S.ann_topk_blas(df, df, k=2).count() > 0
+
+
+def test_kmv_set_ops_absent_language_one_sided_pairs(spark, tmp_path):
+    """Round-7 review finding: a pair whose one language has NO grams at
+    all must still appear with its one-sided union estimate (the former
+    union-of-sides shape and the oracle's merged CTE both emit it);
+    verified end-to-end against the DuckDB oracle on a corpus with only
+    en/de docs — so ('en','zh') and ('de','fr') are one-sided and
+    ('en','de') is two-sided."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "lang": ["en", "en", "de", "de"],
+            "text": [
+                "alpha beta gamma delta epsilon zeta",
+                "alpha beta gamma eta theta iota",
+                "alpha beta gamma delta kappa",
+                "completely different german words here",
+            ],
+        }
+    )
+    sf_dir = str(tmp_path)
+    docs.to_parquet(f"{sf_dir}/documents.parquet")
+
+    got = (
+        entry.q_kmv_set_ops(spark, sf_dir)
+        .toPandas()
+        .sort_values(["lang_a", "lang_b"], ignore_index=True)
+    )
+    # all three declared pairs present, incl. the two one-sided ones
+    assert sorted(zip(got.lang_a, got.lang_b)) == [
+        ("de", "fr"), ("en", "de"), ("en", "zh"),
+    ]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = (
+        con.execute(entry.oracle_sql()["kmv_set_ops"])
+        .fetchdf()
+        .sort_values(["lang_a", "lang_b"], ignore_index=True)
+    )
+    for col in ["est_union", "est_intersect", "exact_union", "exact_intersect"]:
+        assert list(got[col]) == list(want[col]), col
+    # one-sided pairs: intersections exactly zero, unions = the present side
+    one_sided = got[(got.lang_b == "zh") | (got.lang_b == "fr")]
+    assert (one_sided.exact_intersect == 0).all()
+    assert (one_sided.est_intersect == 0.0).all()
+    assert (one_sided.exact_union > 0).all()
