@@ -739,6 +739,15 @@ def q_span_cut_text(spark, sf_dir):
 
 
 _KMV_K = 64
+# Level-1 fan-out of the two-level bucketed partial min-k: the per-group
+# collect_set buffer grows as distinct/_KMV_BUCKETS before the k-slice,
+# so size this to expected per-key cardinality (ADVICE r7) — 64 suits
+# ~10^6 distinct/key; at 10^9+ set ~4096 (buffer stays ~250k hashes) or
+# derive as ceil(expected_distinct / 10^6) * 64. A parameter, not a
+# semantic: any value yields the identical sketch (the k global minima
+# survive every bucketing), which is why the oracle SQL needs no bucket
+# term at all.
+_KMV_BUCKETS = 64
 
 
 def q_kmv_distinct(spark, sf_dir):
@@ -747,9 +756,10 @@ def q_kmv_distinct(spark, sf_dir):
     sketch identical across engines (and across partitionings — unlike
     HLL, whose merge order can differ). Scale path: two-level bucketed
     partial min-k (the kmv_set_ops shape, round 6): level 1 keeps each
-    (event_type, h%64)'s k smallest via a map-side-collapsing agg
-    (per-task buffer bounded by distinct/64), level 2 merges the 64
-    bounded slices per key — no per-key-data-sized window sort
+    (event_type, h%_KMV_BUCKETS)'s k smallest via a map-side-collapsing
+    agg (per-task buffer bounded by distinct/_KMV_BUCKETS — size the
+    fan-out to expected cardinality, see _KMV_BUCKETS), level 2 merges
+    the bounded slices per key — no per-key-data-sized window sort
     anywhere; estimate = (k-1) * 2^60 / kth_min_hash. Replaces the
     former partitioned row_number window over the full distinct-hash
     table (SURVEY round-7 item)."""
@@ -758,7 +768,7 @@ def q_kmv_distinct(spark, sf_dir):
         "event_type", TX.hash60(F.col("user_id").cast("string")).alias("h")
     )
     lvl1 = dh.groupBy(
-        "event_type", F.pmod(F.col("h"), F.lit(64)).alias("b")
+        "event_type", F.pmod(F.col("h"), F.lit(_KMV_BUCKETS)).alias("b")
     ).agg(F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("hs"))
     est = (
         lvl1.groupBy("event_type")
@@ -837,9 +847,9 @@ def q_kmv_set_ops(spark, sf_dir):
     )
     # two-level partial min-k (no window): bucket, keep k smallest per
     # (lang, bucket), merge the 64 bounded slices per language
-    lvl1 = gh.groupBy("lang", F.pmod(F.col("h"), F.lit(64)).alias("b")).agg(
-        F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("hs")
-    )
+    lvl1 = gh.groupBy(
+        "lang", F.pmod(F.col("h"), F.lit(_KMV_BUCKETS)).alias("b")
+    ).agg(F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("hs"))
     sk = lvl1.groupBy("lang").agg(
         F.slice(
             F.array_sort(F.flatten(F.collect_list("hs"))), 1, _KMV_K
@@ -3007,6 +3017,51 @@ def q_prefix_filter_pairs(spark, sf_dir):
 
 
 
+def _funnel_user_steps(ev):
+    """Per-user funnel step times from a (user_id, event_type, tus)
+    frame: t_view = earliest view, t_click = earliest click STRICTLY
+    AFTER t_view, t_purchase = earliest purchase strictly after t_click.
+
+    Shape (round 8): running-min window aggregates instead of a per-user
+    collect_list array. A click qualifies iff tus > (running min of view
+    times over the value-range frame up to its own tus) — that running
+    min equals the user's GLOBAL min view time whenever that global min
+    is < tus (it is in the frame), and the strict > fails exactly when
+    it should on ties, so the qualified set is identical to the
+    global-min definition; same argument one level up for purchases vs
+    qualified clicks. The two window ops share one (partition, order)
+    spec -> ONE exchange + ONE sort, and growing-frame running mins
+    stream with O(1) per-user state — a whale user (bot traffic at
+    100 TB) costs a spillable sort, never an unbounded agg buffer (the
+    round-7 collect_list shape OOMed exactly there; ADVICE.md r7)."""
+    from pyspark.sql import Window as SW
+
+    w = (
+        SW.partitionBy("user_id")
+        .orderBy("tus")
+        .rangeBetween(SW.unboundedPreceding, SW.currentRow)
+    )
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    r = (
+        ev.withColumn("_rv", F.min(F.when(is_("view"), F.col("tus"))).over(w))
+        .withColumn(
+            "_qc", F.when(is_("click") & (F.col("tus") > F.col("_rv")), F.col("tus"))
+        )
+        .withColumn("_rc", F.min("_qc").over(w))
+        .withColumn(
+            "_qp",
+            F.when(is_("purchase") & (F.col("tus") > F.col("_rc")), F.col("tus")),
+        )
+    )
+    # groupBy on the window's partition key: the hash partitioning is
+    # already in place, so this adds no exchange
+    return r.groupBy("user_id").agg(
+        F.min(F.when(is_("view"), F.col("tus"))).alias("t_view"),
+        F.min("_qc").alias("t_click"),
+        F.min("_qp").alias("t_purchase"),
+    )
+
+
 def q_event_funnel(spark, sf_dir):
     """Ordered conversion funnel view -> click -> purchase: per user the
     earliest view, the earliest click STRICTLY AFTER that view, the
@@ -3014,47 +3069,20 @@ def q_event_funnel(spark, sf_dir):
     step populations and conversion ratios — the product-analytics
     staple. Integer-microsecond comparisons -> exact cross-engine.
 
-    Scale shape (round 7): ONE user-keyed shuffle — the scan keeps only
-    the three funnel event types (filter pushed down), each user's
-    (type, time) rows collect into a bounded per-user array (the same
-    per-user budget every window op in the engine assumes), and the
-    strictly-after step sequencing is array math inside the row; the
-    funnel summary is then a single scalar agg. The former shape (three
-    filtered partial aggs + two user-keyed joins + three scalar legs)
-    re-entered the step-1 subtree from five consumers — five exchanges
-    and a crossJoin tree for the same answer."""
+    Scale shape (round 8): ONE user-keyed shuffle — the scan keeps only
+    the three funnel event types (filter pushed down), the strictly-
+    after step sequencing is a pair of running-min window aggregates
+    (O(1) state per user — see _funnel_user_steps; replaces the round-7
+    per-user collect_list array whose agg buffer grew unboundedly with
+    a whale user's event count), and the funnel summary is a single
+    scalar agg."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")
     ).filter(F.col("event_type").isin("view", "click", "purchase"))
-    per_user = ev.groupBy("user_id").agg(
-        F.collect_list(F.struct("event_type", "tus")).alias("_evs")
-    )
-
-    def step_min(etype, after=None):
-        cond = lambda e: (  # noqa: E731
-            (e["event_type"] == etype)
-            if after is None
-            else ((e["event_type"] == etype) & (e["tus"] > after))
-        )
-        return F.array_min(
-            F.transform(F.filter(F.col("_evs"), cond), lambda e: e["tus"])
-        )
-
-    # chained projections so each step can reference the previous
-    # step's column (Catalyst collapses them into one Project)
-    stepped = (
-        per_user.select(step_min("view").alias("t_view"), "_evs")
-        .select("t_view", step_min("click", F.col("t_view")).alias("t_click"), "_evs")
-        .select(
-            "t_view",
-            "t_click",
-            step_min("purchase", F.col("t_click")).alias("t_purchase"),
-        )
-    )
     # count(col) (non-null count) — never NULL, so an events slice with
     # zero funnel rows reports (0, 0, 0) exactly like the former
     # count-based legs (round-7 review finding)
-    return stepped.agg(
+    return _funnel_user_steps(ev).agg(
         F.count("t_view").alias("n_view"),
         F.count("t_click").alias("n_click"),
         F.count("t_purchase").alias("n_purchase"),
@@ -3081,7 +3109,15 @@ def q_retention_cohorts(spark, sf_dir):
     straight off it — one row per (user, offset) by set construction,
     so a plain count IS the distinct-user count. The former shape
     (presence distinct + user-keyed min + a user-keyed join back +
-    count_distinct) paid two extra exchanges for the same rows."""
+    count_distinct) paid two extra exchanges for the same rows.
+
+    Per-key state contract (round 8, vs the whale-key audit): the
+    collect_set buffer is bounded by the number of DISTINCT calendar
+    weeks in the data's time range — ~52/year, ≤ ~1k over two decades —
+    independent of a user's raw event count, because set semantics
+    dedupe map-side. A whale user with 10^9 events still contributes at
+    most #weeks elements; this is a genuine bound, unlike the funnel's
+    former per-event array (see _funnel_user_steps)."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         F.expr(

@@ -941,10 +941,13 @@ def semdedup_prune(
     kept_id_checksum) where kept_id_checksum = sum of surviving vec_ids.
 
     Scale shape: centroid table is tiny -> broadcast assignment (corpus
-    never shuffles for it); the near-dup pair join is an equi-join on the
-    cluster id (one shuffle) with pair volume bounded per cluster — at
-    100 TB you'd subdivide hot clusters exactly like dedup.bucket_pairs
-    (same grid-salt pattern applies; cluster counts here are k-bounded).
+    never shuffles for it); the near-dup pair work routes through
+    ``dedup.bucket_pairs`` keyed on the cluster id (round 8), so a hot
+    cluster's O(n²) comparisons split across G² grid-salted tasks
+    (~small_cap² pairs each) instead of serializing onto the one task
+    that hash-owns the cluster — the same skew guard as every LSH-family
+    candidate generator. Clusters at or under ``small_cap`` plan exactly
+    like the plain equi-join (G = 1, zero replication).
     """
     cents = collect_model_rows(ivf_centroids(df, label_col, vec_col))
     if cents is not None:
@@ -967,12 +970,28 @@ def semdedup_prune(
     # rationale) — at corpus scale the same recompute-vs-spill call
     # documented in SCALING.md.
     members = assigned.select(
-        F.col("vec_id"), F.col("cluster"), F.col("embedding")
+        F.col("vec_id"),
+        F.col("cluster"),
+        F.col("embedding"),
+        norm(F.col("embedding")).alias("_nrm"),
     ).transform(checkpoint_small)
-    pairs = cosine_neardup_pairs(
-        members, threshold=threshold, id_col="vec_id", block_col="cluster"
-    )
-    pruned = pairs.select(F.col("id_b").alias("vec_id")).distinct().withColumn(
+    # grid-salted within-cluster self-join (dedup.bucket_pairs): every
+    # member of a hot cluster gets a grid cell, the equi-join runs on
+    # (cluster, _ga, _gb), and the vec_id_a < vec_id_b filter keeps one
+    # orientation — identical pair set to the plain cluster equi-join,
+    # skew-proof at scale. Norms ride along precomputed (O(n) folds).
+    from .dedup import bucket_pairs
+
+    pairs = bucket_pairs(
+        members, keys=["cluster"], fields=["vec_id", "embedding", "_nrm"]
+    ).select(
+        "vec_id_b",
+        (
+            dot(F.col("embedding_a"), F.col("embedding_b"))
+            / (F.col("_nrm_a") * F.col("_nrm_b"))
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+    pruned = pairs.select(F.col("vec_id_b").alias("vec_id")).distinct().withColumn(
         "_pruned", F.lit(1)
     )
     flagged = members.join(pruned, "vec_id", "left")

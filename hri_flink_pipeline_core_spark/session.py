@@ -31,7 +31,13 @@ def get_spark(
 
     On a real cluster the ``master`` / memory settings come from
     spark-submit; everything under ``spark.sql.*`` here is
-    cluster-appropriate as-is.
+    cluster-appropriate as-is EXCEPT the AQE advisory partition size,
+    which is sized to the data scale the session processes: the 2 MB
+    default matches local sf0.1's kilobyte shuffles, while a production
+    deployment MUST set ``SPARK_GRAFT_ADVISORY_PARTITION=64m`` (Spark's
+    own default) or leave coalescing parallelism-first — reusing the
+    2 MB value against multi-GB shuffles over-partitions every exchange
+    (ADVICE r7; the scale-dependence is derived in BASELINE.md).
     """
     n = cpus or DEFAULT_CPUS
     builder = (

@@ -361,8 +361,9 @@ def test_semdedup_assignment_broadcasts_centroids(spark, sf001):
     """SemDeDup: the centroid table is tiny and must be the broadcast
     build side of the assignment cross join (BroadcastNestedLoopJoin —
     there is no equi key against 10 centroid rows); the within-cluster
-    pair join is a shuffled equi-join on the cluster key; nothing plans
-    as an unbroadcast cartesian product."""
+    pair join is the grid-salted bucket_pairs equi-join (see
+    test_semdedup_pair_join_is_grid_salted); nothing plans as an
+    unbroadcast cartesian product."""
     # the assignment subtree executes at checkpoint time (round 5), so
     # assert its shape directly: centroids must be the broadcast build
     # side of the cross join
@@ -379,6 +380,23 @@ def test_semdedup_assignment_broadcasts_centroids(spark, sf001):
     plan = plan_of(entry.q_semdedup_prune(spark, sf001), mode="simple")
     assert "CartesianProduct" not in plan
     assert "Scan ExistingRDD" in plan
+
+
+def test_semdedup_pair_join_is_grid_salted(spark, sf001):
+    """SemDeDup's within-cluster pair join must route through the
+    dedup.bucket_pairs grid salt (round 8): the join key is the
+    composite (cluster, _ga, _gb), so a hot cluster's O(n²) pair work
+    splits across G² bounded tasks instead of one task hash-owning the
+    whole cluster. Mirrors test_salted_join_is_shuffled_on_composite_key
+    (broadcast is fine at test scale — the salt columns in the join key
+    are the invariant, not the physical join strategy)."""
+    plan = plan_of(entry.q_semdedup_prune(spark, sf001), mode="simple")
+    assert "_ga" in plan and "_gb" in plan
+    join_lines = [
+        l for l in plan.splitlines() if "Join [cluster" in l or "Join [_ga" in l
+    ]
+    assert any("_ga" in l and "_gb" in l for l in join_lines)
+    assert "CartesianProduct" not in plan
 
 
 def test_pq_adc_literal_model_no_joins(spark, sf001):

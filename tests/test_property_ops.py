@@ -717,44 +717,23 @@ _funnel_events = st.lists(
 @given(events=_funnel_events)
 @settings(**_SETTINGS)
 def test_event_funnel_matches_python_reference(spark, events):
-    """The round-7 single-shuffle funnel (per-user event array +
-    strictly-after array math) vs the direct per-user definition:
-    earliest view, earliest click strictly after it, earliest purchase
-    strictly after that — including users with ties, missing steps,
-    out-of-order arrivals and non-funnel event types."""
+    """The round-8 running-min-window funnel (_funnel_user_steps) vs the
+    direct per-user definition: earliest view, earliest click strictly
+    after it, earliest purchase strictly after that — including users
+    with ties, missing steps, out-of-order arrivals and non-funnel
+    event types. Exercises the REAL implementation (not a copy of its
+    expressions), so the strictness/running-min equivalence argument in
+    the helper's docstring is property-checked here."""
     if not events:
         return
+    import __spark_entry__ as entrymod
+
     df = spark.createDataFrame(
         [(u, t, ts * 1_000_000) for (u, t, ts) in events],
         "user_id long, event_type string, tus long",
     )
-    # run the same expressions q_event_funnel builds, on this frame
     ev = df.filter(F.col("event_type").isin("view", "click", "purchase"))
-    per_user = ev.groupBy("user_id").agg(
-        F.collect_list(F.struct("event_type", "tus")).alias("_evs")
-    )
-
-    def step_min(etype, after=None):
-        cond = lambda e: (  # noqa: E731
-            (e["event_type"] == etype)
-            if after is None
-            else ((e["event_type"] == etype) & (e["tus"] > after))
-        )
-        return F.array_min(
-            F.transform(F.filter(F.col("_evs"), cond), lambda e: e["tus"])
-        )
-
-    stepped = (
-        per_user.select(step_min("view").alias("t_view"), "_evs")
-        .select(
-            "t_view", step_min("click", F.col("t_view")).alias("t_click"), "_evs"
-        )
-        .select(
-            "t_view",
-            "t_click",
-            step_min("purchase", F.col("t_click")).alias("t_purchase"),
-        )
-    )
+    stepped = entrymod._funnel_user_steps(ev)
     # count(col) never returns NULL, so an only-'other' event list gives
     # (0, 0, 0) — matching the Python reference (round-7 review finding)
     row = stepped.agg(
