@@ -3305,100 +3305,27 @@ def q_cooccurrence_lift(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER is deliberate: the driver's correctness harness has a
-    # per-round budget (50 keys/round observed in rounds 1-5) and walks
-    # this dict in order. Round-6 ordering, per VERDICT.md round 5
-    # "Next round" #1: (0) the 26 keys whose implementation changed in
-    # round 6 (ANN literal-model rewrite, kmv min-k partial agg,
-    # checkpoint_small seam) or changed late in round 5 with no
-    # post-change driver row (cosine_neardup_lsh, cube/rollup/grouping
-    # sets); (1) the 24 stalest keys — everything whose latest driver
-    # row is r1, then the judge-named r2 keys (TPC-H q3/q5/q6, the
-    # window-function family), then remaining r2 alphabetically;
-    # (2) five checkpoint-seam-only keys with fresh green r4/r5 rows,
-    # deliberately spilled to round 7 (the seam is a mechanical persist
-    # -> checkpoint swap, re-verified by the full 138-key pytest oracle
-    # sweep at sf0.01); (3) the rest, oldest driver round first. The 14
-    # r2-stale keys that do not fit (pivot_agg .. value_histogram) are
-    # listed as the round-7 spill in SURVEY.md.
+    # per-round budget (50 keys/round observed since round 1) and walks
+    # this dict in order. Round-8 ordering, per VERDICT.md round 7
+    # "Next round" #1: (0) the 22 keys whose latest driver row is r2 —
+    # the verification rotation's last hard-signal gap; (1) the five
+    # keys modified in round 8; (2) the 23 r4-latest keys, so the
+    # 50-key window leaves every key's driver row at r4 or newer;
+    # (3)-(4) the rest, oldest driver round first.
     return {
-        # -- (0) round-6-modified keys: ANN literal-model + centroid
-        #    builds, kmv partial min-k, checkpoint seam; plus late-r5
-        #    rewrites lacking driver rows --
-        "kmeans_refine": q_kmeans_refine,
-        "semdedup_prune": q_semdedup_prune,
-        "ann_pq_adc": q_ann_pq_adc,
-        "ann_pq_rerank": q_ann_pq_rerank,
-        "ann_pq_recall": q_ann_pq_recall,
-        "pq_code_histogram": q_pq_code_histogram,
-        "ivf_centroids": q_ivf_centroids,
-        "ann_ivf_probe": q_ann_ivf_probe,
-        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
-        "ann_recall": q_ann_recall,
-        "ann_recall_multiprobe": q_ann_recall_multiprobe,
-        "centroid_distances": q_centroid_distances,
-        "kmv_set_ops": q_kmv_set_ops,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_clusters": q_dedup_clusters,
-        "triangle_count_oriented": q_triangle_count_oriented,
-        "incremental_neardup": q_incremental_neardup,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "duplicate_spans": q_duplicate_spans,
-        "span_cut_text": q_span_cut_text,
-        "containment_pairs": q_containment_pairs,
-        "cosine_neardup_lsh": q_cosine_neardup_lsh,
-        "cube_agg": q_cube_agg,
-        "rollup_agg": q_rollup_agg,
-        "grouping_sets_agg": q_grouping_sets_agg,
-        # late-round-6 rewrites (literal-bitmap bloom probe; star-CC
-        # convergence-check cadence) — modified keys outrank stale ones,
-        # so these displace the two unchanged r2-green media keys
-        "bloom_prune": q_bloom_prune,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        # round-7-modified keys (plan rewrites this round — modified
-        # outranks stale): plain-scan pricing_summary, 2-file sink
-        # write, conditional pagerank checkpoints, kmv_distinct
-        # bucketed min-k, plain-scan lsh_bucket_counts
-        "pricing_summary": q_pricing_summary,
-        "sink_table_roundtrip": q_sink_table_roundtrip,
-        "pagerank_domains": q_pagerank_domains,
-        "kmv_distinct": q_kmv_distinct,
-        "lsh_bucket_counts": q_lsh_bucket_counts,
-        # late-round-7 single-shuffle rewrites (array-shaped funnel and
-        # retention) — modified outranks stale
-        "event_funnel": q_event_funnel,
-        "retention_cohorts": q_retention_cohorts,
-        # -- (1) stalest driver rows: all r1 keys, then judge-named r2
-        #    (TPC-H / window family), then remaining r2 --
-        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
-        "count_by_key": q_count_by_key,
-        "filter_orders": q_filter_orders,
-        "join_broadcast_part": q_join_broadcast_part,
-        "project_net_price": q_project_net_price,
-        "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
-        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
-        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "window_sliding": q_window_sliding,
-        "window_tumbling": q_window_tumbling,
-        "analytic_window": q_analytic_window,
-        "range_frame_window": q_range_frame_window,
-        "bucketed_join_colocated": q_bucketed_join_colocated,
-        "cosine_neardup": q_cosine_neardup,
+        # -- (0) the 22 keys whose latest driver row is r2 (VERDICT r7
+        #    "Next round" #1): pytest-green on current code every round
+        #    since, but the driver's own oracle is the hard signal and
+        #    16% of the surface hasn't had it since round 2 — they go
+        #    FIRST, unconditionally --
         "date_funcs": q_date_funcs,
         "doc_rarity": q_doc_rarity,
         "domain_mix": q_domain_mix,
         "frame_sample": q_frame_sample,
         "hash_sample": q_hash_sample,
         "json_array_funcs": q_json_array_funcs,
-        # -- (2) checkpoint-seam-only keys with fresh r4/r5 rows and the
-        #    two r2-green media keys displaced by late-r6 rewrites
-        #    (spilled to r7 by design) + (3) rest, oldest first --
         "media_blob_stats": q_media_blob_stats,
         "media_decode_features": q_media_decode_features,
-        "vocab_coverage": q_vocab_coverage,
-        "triangle_count": q_triangle_count,
-        "prefix_filter_pairs": q_prefix_filter_pairs,
         "pivot_agg": q_pivot_agg,
         "quality_gate": q_quality_gate,
         "quantile_summary": q_quantile_summary,
@@ -3413,6 +3340,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "string_funcs": q_string_funcs,
         "value_histogram": q_value_histogram,
+        # -- (1) round-8-modified keys (modified outranks everything but
+        #    the r2 backlog): single-pass cross-corpus band build,
+        #    grid-salted semdedup pair join, running-min-window funnel,
+        #    kmv bucket-count parameterization --
+        "incremental_neardup": q_incremental_neardup,
+        "semdedup_prune": q_semdedup_prune,
+        "event_funnel": q_event_funnel,
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_set_ops": q_kmv_set_ops,
+        # -- (2) the 23 r4-latest keys — stalest after the r2 set; with
+        #    tiers 0-1 they fill the 50-key round window exactly, and
+        #    after r8 every key's driver row is >= r4 --
         "ann_topk": q_ann_topk,
         "bm25_topk": q_bm25_topk,
         "bpe_merges": q_bpe_merges,
@@ -3436,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "winsorized_stats": q_winsorized_stats,
         "zorder_manifest": q_zorder_manifest,
+        # -- (3) r5-latest keys, alphabetical --
         "ann_sq_recall": q_ann_sq_recall,
         "ann_sq_topk": q_ann_sq_topk,
         "approx_percentile_binned": q_approx_percentile_binned,
@@ -3461,6 +3401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pmi_bigrams": q_pmi_bigrams,
         "posting_lists": q_posting_lists,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
         "repetition_score": q_repetition_score,
         "resample_ffill": q_resample_ffill,
         "rolling_zscore": q_rolling_zscore,
@@ -3473,9 +3414,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_key": q_topk_per_key,
         "topp_select": q_topp_select,
         "tracker_terminal": q_tracker_terminal,
+        "triangle_count": q_triangle_count,
         "validation_invalid": q_validation_invalid,
+        "vocab_coverage": q_vocab_coverage,
         "weighted_sample": q_weighted_sample,
         "zorder_index": q_zorder_index,
+        # -- (4) r7-latest keys: first the ones whose builders were
+        #    construction-stringified this round (identical logical
+        #    plans, same values — listed early in case the driver
+        #    window grows), then the rest alphabetical --
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "containment_pairs": q_containment_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "duplicate_spans": q_duplicate_spans,
+        "span_cut_text": q_span_cut_text,
+        "retention_cohorts": q_retention_cohorts,
+        "analytic_window": q_analytic_window,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "ann_pq_adc": q_ann_pq_adc,
+        "ann_pq_recall": q_ann_pq_recall,
+        "ann_pq_rerank": q_ann_pq_rerank,
+        "ann_recall": q_ann_recall,
+        "ann_recall_multiprobe": q_ann_recall_multiprobe,
+        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+        "bloom_prune": q_bloom_prune,
+        "bucketed_join_colocated": q_bucketed_join_colocated,
+        "centroid_distances": q_centroid_distances,
+        "cosine_neardup": q_cosine_neardup,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "count_by_key": q_count_by_key,
+        "cube_agg": q_cube_agg,
+        "filter_orders": q_filter_orders,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "ivf_centroids": q_ivf_centroids,
+        "join_broadcast_part": q_join_broadcast_part,
+        "kmeans_refine": q_kmeans_refine,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
+        "pagerank_domains": q_pagerank_domains,
+        "pq_code_histogram": q_pq_code_histogram,
+        "pricing_summary": q_pricing_summary,
+        "project_net_price": q_project_net_price,
+        "range_frame_window": q_range_frame_window,
+        "rollup_agg": q_rollup_agg,
+        "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
+        "sink_table_roundtrip": q_sink_table_roundtrip,
+        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
+        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "triangle_count_oriented": q_triangle_count_oriented,
+        "window_sliding": q_window_sliding,
+        "window_tumbling": q_window_tumbling,
     }
 
 

@@ -124,13 +124,20 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 5,
     perms=PERMS,
+    extra: dict | None = None,
 ) -> DataFrame:
-    """(doc_id, sig) — MinHash signatures in the distributed shape:
-    explode to one row per shingle (md5 in whole-stage codegen), then 16
-    min() aggregates with map-side partial aggregation. Same values as
-    the per-row ``minhash_signature`` column; ~40x faster because no
-    interpreted lambdas. Docs with no tokens get a null signature
-    (left join), matching array_min over an empty array."""
+    """(doc_id[, extra...], sig) — MinHash signatures in the distributed
+    shape: explode to one row per shingle (md5 in whole-stage codegen),
+    then 16 min() aggregates with map-side partial aggregation. Same
+    values as the per-row ``minhash_signature`` column; ~40x faster
+    because no interpreted lambdas. Docs with no tokens get a null
+    signature (left join), matching array_min over an empty array.
+
+    ``extra`` ({name: Column}) attaches per-doc columns to the output at
+    ZERO hot-path cost: they ride the ids side of the final left join,
+    never the shingle explode or the 16-min agg — how the cross-corpus
+    gate carries its new/ref flag through ONE signature pipeline
+    (round 8) instead of running the pipeline once per side."""
     rows = shingle_hash_rows(df, text_col, id_col, k)
     # SQL-string aggregates (one F.expr parse per permutation) instead
     # of per-term Column arithmetic: same plan, same values, ~4x less
@@ -146,7 +153,10 @@ def minhash_signatures(
             "array(" + ", ".join(f"_m{i}" for i in range(len(perms))) + ") AS sig"
         ),
     )
-    ids = df.select(F.col(id_col).alias("doc_id"))
+    ids = df.select(
+        F.col(id_col).alias("doc_id"),
+        *[c.alias(n) for n, c in (extra or {}).items()],
+    )
     return ids.join(sigs, "doc_id", "left")
 
 
@@ -227,20 +237,23 @@ def bucket_pairs(
     # tree (round-5 rationale)
     member = member.transform(checkpoint_small)
 
+    # side selects as SQL strings — one expr parse per side instead of
+    # ~20 per-Column py4j calls each (round-8 construction shave); SQL
+    # xxhash64 defaults to seed 42, same as F.xxhash64
     first = fields[0]
-    cell = F.pmod(F.xxhash64(F.col(first)), F.col("_g")).cast("int")
-    gb_range = F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
-    side_a = member.select(
+    cell_sql = f"CAST(pmod(xxhash64({first}), _g) AS INT)"
+    range_sql = "explode(sequence(0, _g - 1))"
+    side_a = member.selectExpr(
         *keys,
-        cell.alias("_ga"),
-        gb_range.alias("_gb"),
-        *[F.col(f).alias(f"{f}_a") for f in fields],
+        f"{cell_sql} AS _ga",
+        f"{range_sql} AS _gb",
+        *[f"{f} AS {f}_a" for f in fields],
     )
-    side_b = member.select(
+    side_b = member.selectExpr(
         *keys,
-        gb_range.alias("_ga"),
-        cell.alias("_gb"),
-        *[F.col(f).alias(f"{f}_b") for f in fields],
+        f"{range_sql} AS _ga",
+        f"{cell_sql} AS _gb",
+        *[f"{f} AS {f}_b" for f in fields],
     )
     pair_cols = [f"{f}_a" for f in fields] + [f"{f}_b" for f in fields]
     return (
@@ -255,28 +268,40 @@ def minhash_banded_rows(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    extra: dict | None = None,
 ) -> DataFrame:
-    """(doc_id, band, bucket) LSH band rows. The per-doc signature table
-    is persisted (tracked; one skinny row per doc) BEFORE the band
-    explode: downstream consumers (bucket-count aggregate + join side)
-    each re-enter the plan, and without the persist the whole
-    shingle->minhash pipeline runs once per consumer."""
+    """(doc_id[, extra...], band, bucket) LSH band rows. The per-doc
+    signature table is persisted (tracked; one skinny row per doc)
+    BEFORE the band explode: downstream consumers (bucket-count
+    aggregate + join side) each re-enter the plan, and without the
+    persist the whole shingle->minhash pipeline runs once per consumer.
+    ``extra`` per-doc columns (see minhash_signatures) ride along."""
     # flat-leaf materialization of the per-doc signature table (one
     # skinny row per doc) — the shingle->minhash pipeline runs once and
     # every downstream consumer analyzes a leaf (round-5 rationale)
-    banded = minhash_signatures(df, text_col, id_col, k).transform(checkpoint_small)
-    band_cols = minhash_bands(F.col("sig"))
-    return banded.select(
+    names = list((extra or {}).keys())
+    banded = minhash_signatures(df, text_col, id_col, k, extra=extra).transform(
+        checkpoint_small
+    )
+    # ONE SQL-string generator expression for the 16-band explode
+    # (named_struct + md5(concat_ws(slice))) instead of ~130 per-Column
+    # py4j calls — same values as minhash_bands() (round-8 construction
+    # shave; this builder sits under 6 LSH-family query plans)
+    parts = []
+    for b in range(BANDS):
+        slots = ", ".join(
+            f"CAST(sig[{b * ROWS_PER_BAND + r}] AS STRING)"
+            for r in range(ROWS_PER_BAND)
+        )
+        parts.append(
+            f"named_struct('band', {b}, "
+            f"'bucket', md5(concat_ws(',', {slots})))"
+        )
+    return banded.selectExpr(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(i).alias("band"), c.alias("bucket"))
-                    for i, c in enumerate(band_cols)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+        *names,
+        "explode(array(" + ", ".join(parts) + ")) AS bb",
+    ).select("doc_id", *names, "bb.band", "bb.bucket")
 
 
 def minhash_lsh_candidates(
@@ -885,11 +910,14 @@ def crosscorpus_candidates(
     k: int = 5,
     max_bucket: int = 64,
     ref_banded: DataFrame | None = None,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates BETWEEN a new batch and a reference corpus (never
     within either side) -> (doc_a = new id, doc_b = ref id).
     ``ref_banded`` lets long-lived callers reuse a precomputed/cached
-    reference band table across many incoming batches.
+    reference band table across many incoming batches; ``new_banded``
+    (uncapped band rows for the new side) lets single-table callers
+    (incremental_neardup) band both sides in ONE signature pipeline.
 
     This is the incremental-ingest shape: dedup today's crawl against
     the 100 TB corpus without re-pairing the corpus with itself. Both
@@ -901,11 +929,9 @@ def crosscorpus_candidates(
     than the corpus, and broadcasting it means the reference's banded
     rows NEVER shuffle — the whole candidate stage is corpus-scan +
     map-side join."""
-    new_banded = cap_bucket_size(
-        minhash_banded_rows(new_df, text_col, id_col, k),
-        ["band", "bucket"],
-        max_bucket,
-    )
+    if new_banded is None:
+        new_banded = minhash_banded_rows(new_df, text_col, id_col, k)
+    new_banded = cap_bucket_size(new_banded, ["band", "bucket"], max_bucket)
     if ref_banded is None:
         ref_banded = ref_banded_rows(ref_df, text_col, id_col, k, max_bucket)
     new_side = new_banded.select(
@@ -961,6 +987,7 @@ def crosscorpus_verdicts(
     max_bucket: int = 64,
     ref_banded: DataFrame | None = None,
     ref_sets: DataFrame | None = None,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Per-new-doc admission verdicts against a reference corpus:
     cross-corpus LSH candidates (new side broadcast) -> exact n-gram
@@ -981,7 +1008,7 @@ def crosscorpus_verdicts(
     # the verify join + downstream agg) over a deep LSH generation plan
     # (round-5 CC rationale); the candidate set is small by construction
     cands = crosscorpus_candidates(
-        new_df, ref_df, text_col, id_col, k, max_bucket, ref_banded
+        new_df, ref_df, text_col, id_col, k, max_bucket, ref_banded, new_banded
     ).transform(checkpoint_small)
     a_ids = cands.select(F.col("doc_a").alias("doc_id")).distinct()
     sets_a = (
@@ -1033,8 +1060,19 @@ def incremental_neardup(
     never shuffles) -> exact n-gram Jaccard verification (pair work
     bounded by the candidate set) -> per-new-doc aggregation.
 
+    Both sides live in ONE table here, so the band build runs as ONE
+    signature pipeline over the whole table with the new/ref flag
+    riding the ids side of the signature join (round 8 — the former
+    per-side build scanned and shingle->minhashed the corpus twice,
+    once per filter, for disjoint halves of the same data); the sides
+    are then flag-filtered views of the one checkpointed signature
+    table, each capped independently exactly as before.
+
     Output: (doc_id, n_ref_dups, best_jaccard, is_dup) for EVERY new
     document — docs with no verified match report 0 / 0.0 / false."""
+    banded_all = minhash_banded_rows(
+        df, text_col, id_col, k, extra={"_new": new_pred.cast("boolean")}
+    )
     return crosscorpus_verdicts(
         df.filter(new_pred),
         df.filter(~new_pred),
@@ -1043,6 +1081,12 @@ def incremental_neardup(
         k,
         threshold,
         max_bucket,
+        ref_banded=cap_bucket_size(
+            banded_all.filter(F.col("_new") == F.lit(False)).drop("_new"),
+            ["band", "bucket"],
+            max_bucket,
+        ),
+        new_banded=banded_all.filter(F.col("_new") == F.lit(True)).drop("_new"),
     )
 
 

@@ -298,17 +298,16 @@ def shingle_str_rows(df, text_col: str = "text", id_col: str = "doc_id", k: int 
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_toks")
     ).filter(F.size("_toks") > 0)
-    idx = base.select(
+    # SQL strings (two expr parses) instead of per-Column py4j calls —
+    # identical plan; this builder sits under ~10 query plans and the
+    # Column form costs ~20 driver round trips per call (round 8;
+    # `get()` is the SQL spelling of F.get: 0-based, null out-of-range)
+    gets = ", ".join(f"get(_toks, _i + {off})" for off in range(k))
+    return base.selectExpr(
         "doc_id",
         "_toks",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.size("_toks") - k, F.lit(0)))
-        ).alias("_i"),
-    )
-    shingle = F.concat_ws(
-        " ", *[F.get(F.col("_toks"), F.col("_i") + F.lit(off)) for off in range(k)]
-    )
-    return idx.select("doc_id", F.col("_i").alias("pos"), shingle.alias("shingle"))
+        f"explode(sequence(0, greatest(size(_toks) - {k}, 0))) AS _i",
+    ).selectExpr("doc_id", "_i AS pos", f"concat_ws(' ', {gets}) AS shingle")
 
 
 def shingle_hash_rows(
