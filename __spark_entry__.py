@@ -3343,12 +3343,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) round-8-modified keys (modified outranks everything but
         #    the r2 backlog): single-pass cross-corpus band build,
         #    grid-salted semdedup pair join, running-min-window funnel,
-        #    kmv bucket-count parameterization --
+        #    simhash min-chunk pair emission (distinct() deleted). The
+        #    kmv keys also changed this round but only by a literal ->
+        #    named-constant swap (plan-identical, oracle-green in
+        #    pytest), so they stay in tier (4) --
         "incremental_neardup": q_incremental_neardup,
         "semdedup_prune": q_semdedup_prune,
         "event_funnel": q_event_funnel,
-        "kmv_distinct": q_kmv_distinct,
-        "kmv_set_ops": q_kmv_set_ops,
+        "simhash_pairs": q_simhash_pairs,
         # -- (2) the 23 r4-latest keys — stalest after the r2 set; with
         #    tiers 0-1 they fill the 50-key round window exactly, and
         #    after r8 every key's driver row is >= r4 --
@@ -3423,10 +3425,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    construction-stringified this round (identical logical
         #    plans, same values — listed early in case the driver
         #    window grows), then the rest alphabetical --
+        "kmv_distinct": q_kmv_distinct,
+        "kmv_set_ops": q_kmv_set_ops,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "containment_pairs": q_containment_pairs,
-        "simhash_pairs": q_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
         "duplicate_spans": q_duplicate_spans,

@@ -481,21 +481,36 @@ def simhash_neardup_pairs(
     # bucket = ~1.2M comparisons) via its grid-salted big-bucket path —
     # the former plain self-join serialized each hot bucket onto one
     # task. The signature lineage runs once (one groupBy consumer), so
-    # no persist is needed either.
+    # no persist is needed either. chunk_idx rides as a field (equal on
+    # both sides of a bucket pair) for the min-chunk filter below.
     pairs = bucket_pairs(
         exploded,
         keys=["chunk_idx", "chunk"],
-        fields=["doc_id", "sh"],
+        fields=["doc_id", "sh", "chunk_idx"],
         small_cap=128,
     )
+    # Min-chunk emission instead of distinct() (round 8): a near-dup
+    # pair matches in up to all 4 chunks and the bucket join emits it
+    # once per match; keeping only the FIRST matching chunk (for every
+    # j < chunk_idx, the j-th 15-bit chunks differ — three codegen bit
+    # comparisons off the sh values already in the row) makes each pair
+    # unique BY CONSTRUCTION, deleting the duplicate-heavy exchange the
+    # distinct paid (~1M rows at sf0.1 for a 271k-pair result).
+    mask = (1 << 15) - 1
+    first_chunk = " AND ".join(
+        f"(chunk_idx_a <= {j} OR "
+        f"(shiftright(sh_a, {j * 15}) & {mask}) != "
+        f"(shiftright(sh_b, {j * 15}) & {mask}))"
+        for j in range(3)
+    )
     return (
-        pairs.select(
+        pairs.filter(F.expr(first_chunk))
+        .select(
             F.col("doc_id_a").alias("doc_a"),
             F.col("doc_id_b").alias("doc_b"),
             F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

@@ -978,12 +978,20 @@ def semdedup_prune(
     # grid-salted within-cluster self-join (dedup.bucket_pairs): every
     # member of a hot cluster gets a grid cell, the equi-join runs on
     # (cluster, _ga, _gb), and the vec_id_a < vec_id_b filter keeps one
-    # orientation — identical pair set to the plain cluster equi-join,
-    # skew-proof at scale. Norms ride along precomputed (O(n) folds).
+    # orientation — identical pair set to the plain cluster equi-join
+    # (for ANY small_cap), skew-proof at scale. Norms ride along
+    # precomputed (O(n) folds). small_cap is flop-sized, not row-sized:
+    # a task's work is ≤ small_cap² dim-64 dot products (~64M flops at
+    # 1024 — still a small task), while the text-LSH default of 128
+    # would salt every ~1k-member cluster into G=8 and replicate the
+    # embedding arrays 8x for no balance gain at that size.
     from .dedup import bucket_pairs
 
     pairs = bucket_pairs(
-        members, keys=["cluster"], fields=["vec_id", "embedding", "_nrm"]
+        members,
+        keys=["cluster"],
+        fields=["vec_id", "embedding", "_nrm"],
+        small_cap=1024,
     ).select(
         "vec_id_b",
         (
