@@ -526,6 +526,30 @@ def test_bpe_train_matches_python_reference(spark, texts):
     assert got == expected
 
 
+def test_bpe_train_regex_special_symbols(spark):
+    """The Java Pattern.quote edge cases the hypothesis alphabet (abc )
+    never reaches: symbols containing backslash-E (terminates a naive
+    \\Q..\\E quote early — bpe_train splices \\E\\\\E\\Q exactly like
+    Pattern.quote), and replacement strings containing $ and \\ (Java
+    replacement metacharacters). Each word forces merges whose pattern
+    or replacement would misbehave unescaped."""
+    from hri_flink_pipeline_core_spark.operators.text import bpe_train
+
+    texts = [
+        "\\E\\E\\E\\E",  # merged symbol "\\E" embeds \E in the pattern
+        "$$$$ $$$$",      # replacement "$$" needs $-escaping
+        "a.b a.b a.b",    # '.' must not act as regex wildcard
+        "((((",           # unbalanced paren would break live regex
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.merge_idx, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train(df, n_merges=8).orderBy("merge_idx").collect()
+    ]
+    expected = _bpe_train_python(texts, 8)
+    assert got == expected
+
+
 # ---------------------------------------------------------------------------
 # prefix-filter similarity join: exactness (zero false negatives) vs
 # brute-force all-pairs Jaccard over arbitrary tiny corpora
