@@ -741,9 +741,9 @@ def q_span_cut_text(spark, sf_dir):
 _KMV_K = 64
 # Level-1 fan-out of the two-level bucketed partial min-k: the per-group
 # collect_set buffer grows as distinct/_KMV_BUCKETS before the k-slice,
-# so size this to expected per-key cardinality (ADVICE r7) — 64 suits
-# ~10^6 distinct/key; at 10^9+ set ~4096 (buffer stays ~250k hashes) or
-# derive as ceil(expected_distinct / 10^6) * 64. A parameter, not a
+# so size it for a ~250k-hash buffer target: buckets =
+# ceil(expected_distinct_per_key / 250_000) — 64 covers up to ~16M
+# distinct/key, 10^9 needs ~4096 (ADVICE r7). A parameter, not a
 # semantic: any value yields the identical sketch (the k global minima
 # survive every bucketing), which is why the oracle SQL needs no bucket
 # term at all.
@@ -3308,9 +3308,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-round budget (50 keys/round observed since round 1) and walks
     # this dict in order. Round-8 ordering, per VERDICT.md round 7
     # "Next round" #1: (0) the 22 keys whose latest driver row is r2 —
-    # the verification rotation's last hard-signal gap; (1) the five
-    # keys modified in round 8; (2) the 23 r4-latest keys, so the
-    # 50-key window leaves every key's driver row at r4 or newer;
+    # the verification rotation's last hard-signal gap; (1) the FOUR
+    # materially-rewritten round-8 keys (the two kmv keys also changed
+    # but only by a literal -> named-constant swap, so they wait in
+    # tier 4); (2) the 23 r4-latest keys. Tiers 0-2 total 49, so the
+    # window's 50th slot falls to the first tier-3 key (ann_sq_recall,
+    # r5) — deliberate: a fresh r5 row beats re-verifying a
+    # plan-identical kmv key. After r8 every key's driver row is r4+.
     # (3)-(4) the rest, oldest driver round first.
     return {
         # -- (0) the 22 keys whose latest driver row is r2 (VERDICT r7

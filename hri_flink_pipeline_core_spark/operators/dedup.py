@@ -181,6 +181,7 @@ def bucket_pairs(
     fields: list[str],
     small_cap: int = 128,
     max_bucket: int | None = None,
+    member_ckpt: bool = True,
 ) -> DataFrame:
     """All within-bucket unordered pairs (``<field>_a`` < ``<field>_b``
     by the first field) via a grid-salted self-join — the workhorse under
@@ -234,8 +235,14 @@ def bucket_pairs(
     # localCheckpoint: consumed by both join sides (differing
     # projections defeat ReuseExchange) over the expensive signature
     # lineage; the flat leaf also keeps both sides' analysis off that
-    # tree (round-5 rationale)
-    member = member.transform(checkpoint_small)
+    # tree (round-5 rationale). ``member_ckpt=False`` is for callers
+    # whose ``exploded`` is ALREADY a flat leaf carrying a heavy payload
+    # (semdedup's corpus embeddings): re-deriving annotated = leaf ⋈
+    # broadcast(counts) per side is a map-only recompute, while a second
+    # checkpoint would hold every payload array in block-manager storage
+    # twice for the query's lifetime (round-8 review finding).
+    if member_ckpt:
+        member = member.transform(checkpoint_small)
 
     # side selects as SQL strings — one expr parse per side instead of
     # ~20 per-Column py4j calls each (round-8 construction shave); SQL

@@ -987,11 +987,15 @@ def semdedup_prune(
     # embedding arrays 8x for no balance gain at that size.
     from .dedup import bucket_pairs
 
+    # member_ckpt=False: members is already a flat leaf, so the salt
+    # annotation re-derives per side as a map-only broadcast join — a
+    # second checkpoint would store every embedding array twice
     pairs = bucket_pairs(
         members,
         keys=["cluster"],
         fields=["vec_id", "embedding", "_nrm"],
         small_cap=1024,
+        member_ckpt=False,
     ).select(
         "vec_id_b",
         (

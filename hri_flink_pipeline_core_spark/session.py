@@ -26,19 +26,31 @@ def get_spark(
     app_name: str = "hri-pipeline-core-spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    mode: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) the tuned local SparkSession.
 
     On a real cluster the ``master`` / memory settings come from
     spark-submit; everything under ``spark.sql.*`` here is
     cluster-appropriate as-is EXCEPT the AQE advisory partition size,
-    which is sized to the data scale the session processes: the 2 MB
-    default matches local sf0.1's kilobyte shuffles, while a production
-    deployment MUST set ``SPARK_GRAFT_ADVISORY_PARTITION=64m`` (Spark's
-    own default) or leave coalescing parallelism-first — reusing the
-    2 MB value against multi-GB shuffles over-partitions every exchange
-    (ADVICE r7; the scale-dependence is derived in BASELINE.md).
+    which is sized to the data scale the session processes and
+    therefore derives from ``mode`` (ADVICE r7/r8): ``local`` (the
+    default) uses 2 MB — matched to local sf0.1's kilobyte-to-tens-of-MB
+    shuffles — while ``production`` uses Spark's own 64 MB default,
+    because the 2 MB value against multi-GB shuffles over-partitions
+    every exchange (the scale-dependence is derived in BASELINE.md).
+    ``mode`` falls back to $SPARK_GRAFT_MODE, then "local";
+    $SPARK_GRAFT_ADVISORY_PARTITION still overrides the size directly.
     """
+    mode = mode or os.environ.get("SPARK_GRAFT_MODE", "local")
+    if mode not in ("local", "production"):
+        # fail loudly: a typo ("Local", "prod") silently selecting the
+        # 64 MB advisory on a local host is exactly the misconfiguration
+        # this parameter exists to prevent (round-8 review finding)
+        raise ValueError(
+            f"SPARK_GRAFT_MODE/mode must be 'local' or 'production', got {mode!r}"
+        )
+    advisory_default = "2m" if mode == "local" else "64m"
     n = cpus or DEFAULT_CPUS
     builder = (
         SparkSession.builder.master(f"local[{n}]")
@@ -66,7 +78,7 @@ def get_spark(
         )
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", advisory_default),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

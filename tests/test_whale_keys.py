@@ -8,12 +8,15 @@ aggregates (O(1) per-user state, spillable sort — __spark_entry__.
 _funnel_user_steps); retention's collect_set is intrinsically bounded
 by the number of distinct calendar weeks in the data's time range.
 
-The funnel guard here runs 1 user x 200k events through the REAL
-implementation inside a separate 512 MB-driver Spark JVM: with the old
-array shape that buffer is the first thing to blow at scale; with the
-running-min shape the job completes in bounded memory by construction.
-Rows are generated JVM-side (spark.range) so the test measures the agg
-path, not createDataFrame serialization.
+The funnel guard here runs 1 user x 4M events through the REAL
+implementation inside a separate 512 MB-driver Spark JVM. The size is
+DISCRIMINATING, not symbolic (round-8 review finding): at 4M events /
+512 MB the round-7 collect_list shape dies with java.lang.
+OutOfMemoryError (Java heap space) while the running-min shape
+completes in ~15 s — measured both ways before pinning these numbers;
+200k events passed under BOTH shapes and guarded nothing. Rows are
+generated JVM-side (spark.range) so the test measures the agg path,
+not createDataFrame serialization.
 """
 
 from __future__ import annotations
@@ -39,7 +42,10 @@ spark = (
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("ERROR")
-n = 200_000
+# 4M events: the size at which the former per-user collect_list shape
+# OOMs this 512 MB JVM (measured) — a smaller whale passes both shapes
+# and guards nothing
+n = 4_000_000
 # one whale user; event i at time i us, types cycling view/click/purchase
 ev = spark.range(n).select(
     F.lit(1).alias("user_id"),
