@@ -19,3 +19,24 @@ def test_read_cache_entries_die_with_session(spark):
     import weakref
 
     assert isinstance(S._READ_CACHE, weakref.WeakKeyDictionary)
+
+
+def test_get_spark_mode_validation():
+    """mode derives the AQE advisory default (local -> 2m, production ->
+    64m) and anything else fails loudly — a typo silently selecting the
+    production advisory on a local host shifts every benchmark number
+    (round-8 review finding)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="local.*production"):
+        S.get_spark("mode-bad", mode="Local")
+    with pytest.raises(ValueError, match="local.*production"):
+        S.get_spark("mode-bad", mode="prod")
+
+
+def test_get_spark_local_mode_advisory(spark):
+    # the shared test session was built in (default) local mode
+    assert (
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        == "2m"
+    )
