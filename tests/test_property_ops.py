@@ -405,14 +405,20 @@ bucket_assignments = st.lists(
 )
 
 
-@given(rows=bucket_assignments, small_cap=st.sampled_from([2, 3, 8]))
+@given(
+    rows=bucket_assignments,
+    small_cap=st.sampled_from([2, 3, 8]),
+    member_ckpt=st.booleans(),
+)
 @settings(**_SETTINGS)
-def test_bucket_pairs_matches_bruteforce(spark, rows, small_cap):
+def test_bucket_pairs_matches_bruteforce(spark, rows, small_cap, member_ckpt):
     """bucket_pairs (grid-salted join) must produce exactly the i<j pairs
     of each bucket for arbitrary memberships — tiny small_cap values
     force the grid path (G > 1) that production only hits on hot
     buckets, including the ga==gb diagonal cells and cap-boundary
-    buckets."""
+    buckets. member_ckpt=False (round 8: the semdedup no-double-storage
+    path, where both sides re-derive the salt annotation map-side) must
+    be pair-for-pair identical to the checkpointed form."""
     from itertools import combinations
 
     from hri_flink_pipeline_core_spark.operators.dedup import bucket_pairs
@@ -423,7 +429,11 @@ def test_bucket_pairs_matches_bruteforce(spark, rows, small_cap):
     got = sorted(
         (r.doc_id_a, r.doc_id_b)
         for r in bucket_pairs(
-            df, keys=["bucket"], fields=["doc_id"], small_cap=small_cap
+            df,
+            keys=["bucket"],
+            fields=["doc_id"],
+            small_cap=small_cap,
+            member_ckpt=member_ckpt,
         ).collect()
     )
 
