@@ -3308,13 +3308,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-round budget (50 keys/round observed since round 1) and walks
     # this dict in order. Round-8 ordering, per VERDICT.md round 7
     # "Next round" #1: (0) the 22 keys whose latest driver row is r2 —
-    # the verification rotation's last hard-signal gap; (1) the FOUR
+    # the verification rotation's last hard-signal gap; (1) the FIVE
     # materially-rewritten round-8 keys (the two kmv keys also changed
     # but only by a literal -> named-constant swap, so they wait in
-    # tier 4); (2) the 23 r4-latest keys. Tiers 0-2 total 49, so the
-    # window's 50th slot falls to the first tier-3 key (ann_sq_recall,
-    # r5) — deliberate: a fresh r5 row beats re-verifying a
-    # plan-identical kmv key. After r8 every key's driver row is r4+.
+    # tier 4); (2) the 23 r4-latest keys. Tiers 0-2 fill the 50-key
+    # window exactly; after r8 every key's driver row is r4+.
     # (3)-(4) the rest, oldest driver round first.
     return {
         # -- (0) the 22 keys whose latest driver row is r2 (VERDICT r7
@@ -3355,6 +3353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": q_semdedup_prune,
         "event_funnel": q_event_funnel,
         "simhash_pairs": q_simhash_pairs,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
         # -- (2) the 23 r4-latest keys — stalest after the r2 set; with
         #    tiers 0-1 they fill the 50-key round window exactly, and
         #    after r8 every key's driver row is >= r4 --
@@ -3407,7 +3406,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "pmi_bigrams": q_pmi_bigrams,
         "posting_lists": q_posting_lists,
-        "prefix_filter_pairs": q_prefix_filter_pairs,
         "repetition_score": q_repetition_score,
         "resample_ffill": q_resample_ffill,
         "rolling_zscore": q_rolling_zscore,
