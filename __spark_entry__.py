@@ -750,25 +750,34 @@ _KMV_K = 64
 _KMV_BUCKETS = 64
 
 
-def q_kmv_distinct(spark, sf_dir):
+def q_kmv_distinct(spark, sf_dir, n_buckets: int = _KMV_BUCKETS):
     """KMV (k-minimum-values) distinct-count sketch per event_type, with
     the exact count alongside. The deterministic md5-based hash makes the
     sketch identical across engines (and across partitionings — unlike
     HLL, whose merge order can differ). Scale path: two-level bucketed
     partial min-k (the kmv_set_ops shape, round 6): level 1 keeps each
-    (event_type, h%_KMV_BUCKETS)'s k smallest via a map-side-collapsing
-    agg (per-task buffer bounded by distinct/_KMV_BUCKETS — size the
-    fan-out to expected cardinality, see _KMV_BUCKETS), level 2 merges
-    the bounded slices per key — no per-key-data-sized window sort
-    anywhere; estimate = (k-1) * 2^60 / kth_min_hash. Replaces the
-    former partitioned row_number window over the full distinct-hash
-    table (SURVEY round-7 item)."""
+    (event_type, h%n_buckets)'s k smallest via a map-side-collapsing
+    agg, level 2 merges the bounded slices per key — no
+    per-key-data-sized window sort anywhere; estimate =
+    (k-1) * 2^60 / kth_min_hash. Replaces the former partitioned
+    row_number window over the full distinct-hash table (SURVEY
+    round-7 item).
+
+    ``n_buckets`` is the memory knob, not a semantic (ADVICE r7/r8,
+    VERDICT r8 #4): the level-1 ``collect_set`` buffers every distinct
+    hash of its (key, bucket) group before the k-slice, so peak
+    per-group memory is ~8 B × distinct_per_key / n_buckets. Size it
+    as ceil(expected_distinct_per_key / 250_000): the default 64
+    covers ~16M distinct/key; a 10^9-distinct key needs ~4096. Any
+    value yields the identical sketch (the k global minima survive
+    every bucketing), which is why the oracle SQL carries no bucket
+    term and the hash is invariant to this parameter."""
     ev = _t(spark, sf_dir, "events")
     dh = ev.select(
         "event_type", TX.hash60(F.col("user_id").cast("string")).alias("h")
     )
     lvl1 = dh.groupBy(
-        "event_type", F.pmod(F.col("h"), F.lit(_KMV_BUCKETS)).alias("b")
+        "event_type", F.pmod(F.col("h"), F.lit(n_buckets)).alias("b")
     ).agg(F.slice(F.array_sort(F.collect_set("h")), 1, _KMV_K).alias("hs"))
     est = (
         lvl1.groupBy("event_type")

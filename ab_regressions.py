@@ -28,9 +28,12 @@ NAMES = [
     "threshold_trigger",
 ]
 
+# repo root from __file__, not a hardcoded path (ADVICE r8)
+_REPO_ROOT = str(__import__("pathlib").Path(__file__).resolve().parent)
+
 _CHILD = r"""
 import json, sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, %(repo)r)
 mode = sys.argv[1]
 from hri_flink_pipeline_core_spark.session import get_spark
 spark = get_spark("ab-regr")
@@ -46,7 +49,7 @@ print("AB_RESULT " + json.dumps({"mode": mode, "timings": timings, "errors": err
 
 def run_mode(mode: str) -> dict[str, float]:
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD % {"names": NAMES}, mode],
+        [sys.executable, "-c", _CHILD % {"names": NAMES, "repo": _REPO_ROOT}, mode],
         capture_output=True,
         text=True,
         timeout=1800,

@@ -150,6 +150,42 @@ def _run_names(names: list[str]) -> tuple[dict[str, float], dict[str, str]]:
     return timings, errors
 
 
+def load_artifact(path: str) -> list[dict]:
+    """Read a committed bench/duck artifact in EITHER on-disk format
+    (VERDICT r8 housekeeping): ``duck_local_r*.json`` are single JSON
+    documents while ``bench_local_r*.json`` are line-delimited (the two
+    stdout lines of a ``python bench.py > file`` run: full map first,
+    compact summary last). Returns a list of parsed documents — one
+    entry for a single-document file, one per line otherwise. The entry
+    with the biggest ``queries`` map is the full per-query record:
+    ``max(load_artifact(p), key=lambda d: len(d.get("queries", {})))``.
+    """
+    with open(path) as f:
+        txt = f.read().strip()
+    try:
+        return [json.loads(txt)]
+    except json.JSONDecodeError:
+        return [json.loads(line) for line in txt.splitlines() if line.strip()]
+
+
+def _show(path: str) -> int:
+    docs = load_artifact(path)
+    full = max(docs, key=lambda d: len(d.get("queries", {})))
+    q = full.get("queries", {})
+    print(
+        json.dumps(
+            {
+                "path": path,
+                "documents": len(docs),
+                "value": full.get("value"),
+                "n_queries": len(q),
+                "top5": dict(sorted(q.items(), key=lambda kv: -kv[1])[:5]),
+            }
+        )
+    )
+    return 0
+
+
 def _child(out_path: str, names_csv: str) -> int:
     timings, errors = _run_names(names_csv.split(","))
     with open(out_path, "w") as f:
@@ -252,4 +288,6 @@ def main() -> int:
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--child":
         raise SystemExit(_child(sys.argv[2], sys.argv[3]))
+    if len(sys.argv) >= 3 and sys.argv[1] == "--show":
+        raise SystemExit(_show(sys.argv[2]))
     raise SystemExit(main())

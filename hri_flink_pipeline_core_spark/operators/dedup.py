@@ -246,21 +246,29 @@ def bucket_pairs(
 
     # side selects as SQL strings — one expr parse per side instead of
     # ~20 per-Column py4j calls each (round-8 construction shave); SQL
-    # xxhash64 defaults to seed 42, same as F.xxhash64
+    # xxhash64 defaults to seed 42, same as F.xxhash64. Caller-supplied
+    # names are backtick-quoted so a reserved word or odd character
+    # parses as a column reference, never as an expression (ADVICE r8).
+    def _q(name: str) -> str:
+        if "`" in name:
+            raise ValueError(f"illegal backtick in field name: {name!r}")
+        return f"`{name}`"
+
+    qkeys = [_q(k) for k in keys]
     first = fields[0]
-    cell_sql = f"CAST(pmod(xxhash64({first}), _g) AS INT)"
+    cell_sql = f"CAST(pmod(xxhash64({_q(first)}), _g) AS INT)"
     range_sql = "explode(sequence(0, _g - 1))"
     side_a = member.selectExpr(
-        *keys,
+        *qkeys,
         f"{cell_sql} AS _ga",
         f"{range_sql} AS _gb",
-        *[f"{f} AS {f}_a" for f in fields],
+        *[f"{_q(f)} AS {_q(f + '_a')}" for f in fields],
     )
     side_b = member.selectExpr(
-        *keys,
+        *qkeys,
         f"{range_sql} AS _ga",
         f"{cell_sql} AS _gb",
-        *[f"{f} AS {f}_b" for f in fields],
+        *[f"{_q(f)} AS {_q(f + '_b')}" for f in fields],
     )
     pair_cols = [f"{f}_a" for f in fields] + [f"{f}_b" for f in fields]
     return (
@@ -420,7 +428,18 @@ def simhash(text: Column, bits: int = 60) -> Column:
     )
 
 
-def simhash_chunks(sh: Column, n_chunks: int = 4, chunk_bits: int = 15) -> list[Column]:
+# Pigeonhole split shared by simhash_chunks and simhash_neardup_pairs'
+# min-chunk filter: both MUST agree on the chunk geometry or the filter
+# silently drops/duplicates pairs (ADVICE r8).
+SIMHASH_N_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 15
+
+
+def simhash_chunks(
+    sh: Column,
+    n_chunks: int = SIMHASH_N_CHUNKS,
+    chunk_bits: int = SIMHASH_CHUNK_BITS,
+) -> list[Column]:
     mask = (1 << chunk_bits) - 1
     return [
         F.shiftright(sh, i * chunk_bits).bitwiseAND(F.lit(mask)) for i in range(n_chunks)
@@ -503,12 +522,12 @@ def simhash_neardup_pairs(
     # comparisons off the sh values already in the row) makes each pair
     # unique BY CONSTRUCTION, deleting the duplicate-heavy exchange the
     # distinct paid (~1M rows at sf0.1 for a 271k-pair result).
-    mask = (1 << 15) - 1
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
     first_chunk = " AND ".join(
         f"(chunk_idx_a <= {j} OR "
-        f"(shiftright(sh_a, {j * 15}) & {mask}) != "
-        f"(shiftright(sh_b, {j * 15}) & {mask}))"
-        for j in range(3)
+        f"(shiftright(sh_a, {j * SIMHASH_CHUNK_BITS}) & {mask}) != "
+        f"(shiftright(sh_b, {j * SIMHASH_CHUNK_BITS}) & {mask}))"
+        for j in range(SIMHASH_N_CHUNKS - 1)
     )
     return (
         pairs.filter(F.expr(first_chunk))

@@ -92,6 +92,24 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate() silently reuses a live session WITH ITS ORIGINAL
+    # configs — a caller passing mode='production' into a live
+    # local-mode process would get the 2 MB advisory with no signal,
+    # the same misconfiguration class the ValueError above guards
+    # (ADVICE r8). Warn on mismatch; the advisory IS runtime-settable,
+    # so also apply the requested value.
+    want = os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", advisory_default)
+    have = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", want)
+    if have != want:
+        import warnings
+
+        warnings.warn(
+            f"reused live SparkSession has advisoryPartitionSizeInBytes="
+            f"{have!r} but mode={mode!r} requested {want!r}; applying the "
+            f"requested value (other builder configs stay as created)",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", want)
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

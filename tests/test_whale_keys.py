@@ -26,9 +26,13 @@ import sys
 
 from pyspark.sql import functions as F
 
+# repo root from __file__, not a hardcoded path, so the subprocess
+# imports THIS checkout's code in CI/worktrees too (ADVICE r8)
+_REPO_ROOT = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+
 _WHALE_SCRIPT = r"""
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, %(repo)r)
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 import __spark_entry__ as entrymod
@@ -68,7 +72,7 @@ spark.stop()
 
 def test_funnel_whale_user_completes_in_bounded_memory():
     out = subprocess.run(
-        [sys.executable, "-c", _WHALE_SCRIPT],
+        [sys.executable, "-c", _WHALE_SCRIPT % {"repo": _REPO_ROOT}],
         capture_output=True,
         text=True,
         timeout=300,
