@@ -3315,81 +3315,19 @@ def q_cooccurrence_lift(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER is deliberate: the driver's correctness harness has a
     # per-round budget (50 keys/round observed since round 1) and walks
-    # this dict in order. Round-8 ordering, per VERDICT.md round 7
-    # "Next round" #1: (0) the 22 keys whose latest driver row is r2 —
-    # the verification rotation's last hard-signal gap; (1) the FIVE
-    # materially-rewritten round-8 keys (the two kmv keys also changed
-    # but only by a literal -> named-constant swap, so they wait in
-    # tier 4); (2) the 23 r4-latest keys. Tiers 0-2 fill the 50-key
-    # window exactly; after r8 every key's driver row is r4+.
-    # (3)-(4) the rest, oldest driver round first.
+    # this dict in order. Round-9 ordering, per VERDICT.md round 8
+    # "Next round" #1: (0) the 42 keys whose latest driver row is r5 —
+    # the stalest slice after the r8 rotation; (1) the 8 keys touched
+    # in round 9. Tiers 0-1 fill the 50-key window exactly; after r9
+    # every key's driver row is r7+. (2)-(3) the rest, oldest driver
+    # round first.
     return {
-        # -- (0) the 22 keys whose latest driver row is r2 (VERDICT r7
-        #    "Next round" #1): pytest-green on current code every round
-        #    since, but the driver's own oracle is the hard signal and
-        #    16% of the surface hasn't had it since round 2 — they go
-        #    FIRST, unconditionally --
-        "date_funcs": q_date_funcs,
-        "doc_rarity": q_doc_rarity,
-        "domain_mix": q_domain_mix,
-        "frame_sample": q_frame_sample,
-        "hash_sample": q_hash_sample,
-        "json_array_funcs": q_json_array_funcs,
-        "media_blob_stats": q_media_blob_stats,
-        "media_decode_features": q_media_decode_features,
-        "pivot_agg": q_pivot_agg,
-        "quality_gate": q_quality_gate,
-        "quantile_summary": q_quantile_summary,
-        "rank_features": q_rank_features,
-        "sample_exact_per_stratum": q_sample_exact_per_stratum,
-        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
-        "scd2_intervals": q_scd2_intervals,
-        "sequence_pack": q_sequence_pack,
-        "session_windows": q_session_windows,
-        "set_ops": q_set_ops,
-        "stats_moments": q_stats_moments,
-        "stratified_sample": q_stratified_sample,
-        "string_funcs": q_string_funcs,
-        "value_histogram": q_value_histogram,
-        # -- (1) round-8-modified keys (modified outranks everything but
-        #    the r2 backlog): single-pass cross-corpus band build,
-        #    grid-salted semdedup pair join, running-min-window funnel,
-        #    simhash min-chunk pair emission (distinct() deleted). The
-        #    kmv keys also changed this round but only by a literal ->
-        #    named-constant swap (plan-identical, oracle-green in
-        #    pytest), so they stay in tier (4) --
-        "incremental_neardup": q_incremental_neardup,
-        "semdedup_prune": q_semdedup_prune,
-        "event_funnel": q_event_funnel,
-        "simhash_pairs": q_simhash_pairs,
-        "prefix_filter_pairs": q_prefix_filter_pairs,
-        # -- (2) the 23 r4-latest keys — stalest after the r2 set; with
-        #    tiers 0-1 they fill the 50-key round window exactly, and
-        #    after r8 every key's driver row is >= r4 --
-        "ann_topk": q_ann_topk,
-        "bm25_topk": q_bm25_topk,
-        "bpe_merges": q_bpe_merges,
-        "dataset_split": q_dataset_split,
-        "dedup_keep_best": q_dedup_keep_best,
-        "event_transitions": q_event_transitions,
-        "media_exact_dedup": q_media_exact_dedup,
-        "sessionize_events": q_sessionize_events,
-        "shard_assignment": q_shard_assignment,
-        "text_stats": q_text_stats,
-        "tfidf_topterms": q_tfidf_topterms,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
-        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "winsorized_stats": q_winsorized_stats,
-        "zorder_manifest": q_zorder_manifest,
-        # -- (3) r5-latest keys, alphabetical --
+        # -- (0) the 42 keys whose latest driver row is r5 (VERDICT r8
+        #    "Next round" #1): the stalest slice after the r8 rotation —
+        #    pytest-green on current code every round since, but the
+        #    driver's own oracle is the hard signal and three rounds of
+        #    rewrites have landed since r5. They go FIRST,
+        #    unconditionally --
         "ann_sq_recall": q_ann_sq_recall,
         "ann_sq_topk": q_ann_sq_topk,
         "approx_percentile_binned": q_approx_percentile_binned,
@@ -3432,20 +3370,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "weighted_sample": q_weighted_sample,
         "zorder_index": q_zorder_index,
-        # -- (4) r7-latest keys: first the ones whose builders were
-        #    construction-stringified this round (identical logical
-        #    plans, same values — listed early in case the driver
-        #    window grows), then the rest alphabetical --
+        # -- (1) the 8 round-9-touched keys, filling the 50-key
+        #    window exactly: kmv_distinct (bucket count parameterized),
+        #    simhash_pairs (chunk geometry now derived from shared
+        #    constants), the bucket_pairs consumers affected by the
+        #    identifier-quoting change (minhash_lsh_pairs,
+        #    containment_pairs, dedup_clusters, dedup_clusters_star),
+        #    and the two round-9 perf/regression subjects
+        #    (prefix_filter_pairs, triangle_count_oriented). After r9
+        #    every key's driver row is r7+ --
         "kmv_distinct": q_kmv_distinct,
-        "kmv_set_ops": q_kmv_set_ops,
+        "simhash_pairs": q_simhash_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "containment_pairs": q_containment_pairs,
-        "dedup_clusters": q_dedup_clusters,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "duplicate_spans": q_duplicate_spans,
-        "span_cut_text": q_span_cut_text,
-        "retention_cohorts": q_retention_cohorts,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
+        "triangle_count_oriented": q_triangle_count_oriented,
+        "dedup_clusters": q_dedup_clusters,
+        "containment_pairs": q_containment_pairs,
+        # -- (2) the remaining r7-latest keys, alphabetical --
         "analytic_window": q_analytic_window,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_ivf_probe": q_ann_ivf_probe,
@@ -3462,26 +3404,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "count_by_key": q_count_by_key,
         "cube_agg": q_cube_agg,
+        "duplicate_spans": q_duplicate_spans,
         "filter_orders": q_filter_orders,
         "grouping_sets_agg": q_grouping_sets_agg,
         "ivf_centroids": q_ivf_centroids,
         "join_broadcast_part": q_join_broadcast_part,
         "kmeans_refine": q_kmeans_refine,
+        "kmv_set_ops": q_kmv_set_ops,
         "lsh_bucket_counts": q_lsh_bucket_counts,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "pagerank_domains": q_pagerank_domains,
         "pq_code_histogram": q_pq_code_histogram,
         "pricing_summary": q_pricing_summary,
         "project_net_price": q_project_net_price,
         "range_frame_window": q_range_frame_window,
+        "retention_cohorts": q_retention_cohorts,
         "rollup_agg": q_rollup_agg,
         "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
         "sink_table_roundtrip": q_sink_table_roundtrip,
+        "span_cut_text": q_span_cut_text,
         "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
         "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "triangle_count_oriented": q_triangle_count_oriented,
         "window_sliding": q_window_sliding,
         "window_tumbling": q_window_tumbling,
+        # -- (3) the remaining r8-latest keys (freshest), alphabetical --
+        "ann_topk": q_ann_topk,
+        "bm25_topk": q_bm25_topk,
+        "bpe_merges": q_bpe_merges,
+        "dataset_split": q_dataset_split,
+        "date_funcs": q_date_funcs,
+        "dedup_keep_best": q_dedup_keep_best,
+        "doc_rarity": q_doc_rarity,
+        "domain_mix": q_domain_mix,
+        "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
+        "frame_sample": q_frame_sample,
+        "hash_sample": q_hash_sample,
+        "incremental_neardup": q_incremental_neardup,
+        "json_array_funcs": q_json_array_funcs,
+        "media_blob_stats": q_media_blob_stats,
+        "media_decode_features": q_media_decode_features,
+        "media_exact_dedup": q_media_exact_dedup,
+        "pivot_agg": q_pivot_agg,
+        "quality_gate": q_quality_gate,
+        "quantile_summary": q_quantile_summary,
+        "rank_features": q_rank_features,
+        "sample_exact_per_stratum": q_sample_exact_per_stratum,
+        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
+        "scd2_intervals": q_scd2_intervals,
+        "semdedup_prune": q_semdedup_prune,
+        "sequence_pack": q_sequence_pack,
+        "session_windows": q_session_windows,
+        "sessionize_events": q_sessionize_events,
+        "set_ops": q_set_ops,
+        "shard_assignment": q_shard_assignment,
+        "stats_moments": q_stats_moments,
+        "stratified_sample": q_stratified_sample,
+        "string_funcs": q_string_funcs,
+        "text_stats": q_text_stats,
+        "tfidf_topterms": q_tfidf_topterms,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
+        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "value_histogram": q_value_histogram,
+        "winsorized_stats": q_winsorized_stats,
+        "zorder_manifest": q_zorder_manifest,
     }
 
 

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Synthesize an sf~1 testdata blow-up for the weak-set scaling proof
+(VERDICT r8 "Next round" #2).
+
+/root/testdata is read-only and tops out at sf0.1, but the weak five
+(span_cut_text, prefix_filter_pairs, triangle_count_oriented,
+dedup_clusters_star, minhash_lsh_pairs) all carry the claim that their
+>2x ratio is a fixed job floor amortizing with data size — BASELINE.md's
+round-8 table shows one decade (sf0.01 -> sf0.1); this generator builds
+the NEXT decade so the claim is measured, not extrapolated.
+
+Method: replicate sf0.1's documents table REPLICAS times. Replica 0 is
+the original corpus verbatim; replica i>0 re-keys doc_id (+ i *
+ID_STRIDE) and suffixes EVERY whitespace token with "_s{i}". Token
+suffixing is a per-replica bijection of the vocabulary, so:
+
+- WITHIN a replica, the shingle/minhash/simhash structure (and thus the
+  near-dup pair graph, cluster sizes, span structure) is identical to
+  the real corpus — not a degenerate all-unique or all-duplicate blob;
+- ACROSS replicas, no 5-token shingle ever matches (every token differs
+  in its suffix), so pair counts scale exactly linearly (pairs(sf1) =
+  REPLICAS x pairs(sf0.1)) — the realistic shape for 10x more data,
+  instead of the quadratic blow-up that replicating ids alone would
+  produce (each doc would gain REPLICAS-1 exact near-dups and bucket
+  pair work would scale x REPLICAS^2).
+
+The remaining nine tables are copied verbatim (the weak five only read
+documents; the copies keep the directory a drop-in sf_dir for any
+query and for DuckDB view registration).
+
+Usage: python gen_sfscale.py [out_dir] [replicas]   (defaults:
+<repo>/.scratch/sf1, 10)
+"""
+
+from __future__ import annotations
+
+import pathlib
+import shutil
+import sys
+
+SRC = "/root/testdata/sf0.1"
+ID_STRIDE = 1_000_000  # max sf0.1 doc_id is ~5e3; stride keeps ids disjoint
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def main() -> int:
+    import duckdb
+
+    repo = pathlib.Path(__file__).resolve().parent
+    out = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else repo / ".scratch" / "sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    out.mkdir(parents=True, exist_ok=True)
+
+    con = duckdb.connect()
+    legs = []
+    for i in range(replicas):
+        if i == 0:
+            legs.append(
+                f"SELECT doc_id, text, lang, source, n_chars "
+                f"FROM '{SRC}/documents.parquet'"
+            )
+        else:
+            legs.append(
+                f"SELECT doc_id + {i * ID_STRIDE} AS doc_id, "
+                # suffix every token: per-replica vocabulary bijection
+                f"regexp_replace(text, '(\\S+)', '\\1_s{i}', 'g') AS text, "
+                f"lang, source, "
+                f"length(regexp_replace(text, '(\\S+)', '\\1_s{i}', 'g')) AS n_chars "
+                f"FROM '{SRC}/documents.parquet'"
+            )
+    sql = " UNION ALL ".join(legs)
+    con.execute(
+        f"COPY ({sql}) TO '{out / 'documents.parquet'}' (FORMAT PARQUET)"
+    )
+    for t in TABLES:
+        if t == "documents":
+            continue
+        shutil.copyfile(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
+    n = con.execute(f"SELECT count(*) FROM '{out / 'documents.parquet'}'").fetchone()[0]
+    print(f"wrote {out}: documents={n} rows ({replicas} replicas)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -850,6 +850,7 @@ def connected_components_star(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 50,
+    check_cadence: int = 2,
 ) -> DataFrame:
     """Connected components via the alternating large-star/small-star
     algorithm (Kiveris et al., MapReduce & Beyond) — the PRODUCTION
@@ -884,14 +885,15 @@ def connected_components_star(
         # count + count + exceptAll): the signed-multiset difference is
         # empty iff the edge sets are identical — its first consumption
         # also materializes nxt's lazy checkpoint inside the same job.
-        # Checks run every SECOND round (and on the last permitted
-        # round): star rounds past convergence are no-ops on an already-
-        # converged edge set, so the worst case is one redundant (tiny)
-        # star pair, in exchange for halving the driver actions — on a
-        # 2-round input that is 1 action instead of 2. Column access is
+        # Checks run every ``check_cadence``-th round (and on the last
+        # permitted round): star rounds past convergence are no-ops on
+        # an already-converged edge set, so the worst case is
+        # check_cadence - 1 redundant (tiny) star pairs, in exchange
+        # for 1/check_cadence as many driver actions (paired cadence
+        # measurements: BASELINE.md round 9). Column access is
         # positional (like exceptAll): the star ops' output names
         # differ from the loop's (x, y).
-        if round_i % 2 == 1 or round_i == max_rounds - 1:
+        if round_i % check_cadence == check_cadence - 1 or round_i == max_rounds - 1:
             nx, cx = nxt.columns, cur.columns
             converged = (
                 nxt.select(
