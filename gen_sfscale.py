@@ -46,21 +46,18 @@ TABLES = (
 )
 
 
-def main() -> int:
+def generate(src: str, out: pathlib.Path, replicas: int) -> int:
+    """Write the blown-up testdata dir; returns the documents row count."""
     import duckdb
 
-    repo = pathlib.Path(__file__).resolve().parent
-    out = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else repo / ".scratch" / "sf1"
-    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     out.mkdir(parents=True, exist_ok=True)
-
     con = duckdb.connect()
     legs = []
     for i in range(replicas):
         if i == 0:
             legs.append(
                 f"SELECT doc_id, text, lang, source, n_chars "
-                f"FROM '{SRC}/documents.parquet'"
+                f"FROM '{src}/documents.parquet'"
             )
         else:
             legs.append(
@@ -69,7 +66,7 @@ def main() -> int:
                 f"regexp_replace(text, '(\\S+)', '\\1_s{i}', 'g') AS text, "
                 f"lang, source, "
                 f"length(regexp_replace(text, '(\\S+)', '\\1_s{i}', 'g')) AS n_chars "
-                f"FROM '{SRC}/documents.parquet'"
+                f"FROM '{src}/documents.parquet'"
             )
     sql = " UNION ALL ".join(legs)
     con.execute(
@@ -78,8 +75,17 @@ def main() -> int:
     for t in TABLES:
         if t == "documents":
             continue
-        shutil.copyfile(f"{SRC}/{t}.parquet", out / f"{t}.parquet")
-    n = con.execute(f"SELECT count(*) FROM '{out / 'documents.parquet'}'").fetchone()[0]
+        shutil.copyfile(f"{src}/{t}.parquet", out / f"{t}.parquet")
+    return con.execute(
+        f"SELECT count(*) FROM '{out / 'documents.parquet'}'"
+    ).fetchone()[0]
+
+
+def main() -> int:
+    repo = pathlib.Path(__file__).resolve().parent
+    out = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else repo / ".scratch" / "sf1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n = generate(SRC, out, replicas)
     print(f"wrote {out}: documents={n} rows ({replicas} replicas)")
     return 0
 

@@ -1,0 +1,128 @@
+"""The sf-scale generator's non-degeneracy contract (BASELINE.md round
+9): replicas must preserve within-replica shingle structure EXACTLY
+(the blow-up measures the same workload at 10x, not a different one)
+while sharing ZERO shingles across replicas (pair counts scale
+linearly, as a real 10x corpus would — replicating ids alone would
+make every doc 9 exact near-dups and square the pair work).
+
+Pure DuckDB, no Spark session; runs on the tiny sf0.001 source.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import duckdb
+import pytest
+
+import gen_sfscale
+
+SRC = "/root/testdata/sf0.001"
+K = 5  # shingle width used by the weak-five queries
+
+
+@pytest.fixture(scope="module")
+def blown(tmp_path_factory):
+    out = tmp_path_factory.mktemp("sfscale") / "x2"
+    n = gen_sfscale.generate(SRC, pathlib.Path(out), replicas=2)
+    return out, n
+
+
+def _shingle_rows(con, path: str, leg: str) -> str:
+    """A (doc_id, shingle) relation of word K-grams, mirroring
+    text.shingles' n>=k branch (short docs don't matter for the
+    cross-replica disjointness claim)."""
+    return f"""
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, len(toks) - {K} + 2),
+             i -> array_to_string(toks[i : i + {K - 1}], ' ')
+           )) AS shingle
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM '{path}' {leg}
+    )
+    WHERE len(toks) >= {K}
+    """
+
+
+def test_row_count_and_disjoint_ids(blown):
+    out, n = blown
+    con = duckdb.connect()
+    base = con.execute(
+        f"SELECT count(*) FROM '{SRC}/documents.parquet'"
+    ).fetchone()[0]
+    assert n == 2 * base
+    dup_ids = con.execute(
+        f"SELECT count(*) - count(DISTINCT doc_id) "
+        f"FROM '{out}/documents.parquet'"
+    ).fetchone()[0]
+    assert dup_ids == 0
+
+
+def test_replica_zero_is_verbatim(blown):
+    out, _ = blown
+    con = duckdb.connect()
+    diff = con.execute(
+        f"""
+        SELECT count(*) FROM (
+          (SELECT * FROM '{SRC}/documents.parquet'
+           EXCEPT
+           SELECT * FROM '{out}/documents.parquet'
+           WHERE doc_id < {gen_sfscale.ID_STRIDE})
+          UNION ALL
+          (SELECT * FROM '{out}/documents.parquet'
+           WHERE doc_id < {gen_sfscale.ID_STRIDE}
+           EXCEPT
+           SELECT * FROM '{SRC}/documents.parquet')
+        )
+        """
+    ).fetchone()[0]
+    assert diff == 0
+
+
+def test_within_replica_structure_identical(blown):
+    """The salted replica's shingle MULTISET per doc maps 1:1 onto the
+    base corpus's: same per-doc shingle counts, same cross-doc equality
+    structure (token suffixing is a vocabulary bijection)."""
+    out, _ = blown
+    con = duckdb.connect()
+    # per-doc distinct/total shingle counts must match base exactly
+    rows = con.execute(
+        f"""
+        WITH base AS (
+          SELECT doc_id, count(*) AS n, count(DISTINCT shingle) AS d
+          FROM ({_shingle_rows(con, f'{SRC}/documents.parquet', '')})
+          GROUP BY doc_id
+        ), rep AS (
+          SELECT doc_id - {gen_sfscale.ID_STRIDE} AS doc_id,
+                 count(*) AS n, count(DISTINCT shingle) AS d
+          FROM ({_shingle_rows(con, f'{out}/documents.parquet',
+                               f'WHERE doc_id >= {gen_sfscale.ID_STRIDE}')})
+          GROUP BY doc_id
+        )
+        SELECT count(*) FROM base FULL JOIN rep USING (doc_id)
+        WHERE base.n IS DISTINCT FROM rep.n
+           OR base.d IS DISTINCT FROM rep.d
+        """
+    ).fetchone()[0]
+    assert rows == 0
+
+
+def test_zero_cross_replica_shingle_matches(blown):
+    out, _ = blown
+    con = duckdb.connect()
+    shared = con.execute(
+        f"""
+        SELECT count(*) FROM (
+          SELECT shingle
+          FROM ({_shingle_rows(con, f'{out}/documents.parquet',
+                               f'WHERE doc_id < {gen_sfscale.ID_STRIDE}')})
+          INTERSECT
+          SELECT shingle
+          FROM ({_shingle_rows(con, f'{out}/documents.parquet',
+                               f'WHERE doc_id >= {gen_sfscale.ID_STRIDE}')})
+        )
+        """
+    ).fetchone()[0]
+    assert shared == 0
