@@ -24,9 +24,19 @@ suffixing is a per-replica bijection of the vocabulary, so:
   produce (each doc would gain REPLICAS-1 exact near-dups and bucket
   pair work would scale x REPLICAS^2).
 
-The remaining nine tables are copied verbatim (the weak five only read
-documents; the copies keep the directory a drop-in sf_dir for any
-query and for DuckDB view registration).
+The embeddings table gets the same treatment with a different
+bijection: replica i>0 re-keys vec_id (+ i*ID_STRIDE) and label
+(+ i*LABEL_STRIDE) and applies a deterministic per-(replica, dim)
+SIGN FLIP to each vector — a diagonal ±1 orthogonal transform, so
+norms and all WITHIN-replica cosines are bit-preserved (the same
+semantic-dup structure per replica) while cross-replica cosines
+decorrelate (no spurious cross-replica near-dups; cluster count scales
+x REPLICAS at constant cluster size — linear pair work, the realistic
+10x-corpus shape for semdedup / cosine-LSH / ANN).
+
+The remaining eight tables are copied verbatim (they keep the
+directory a drop-in sf_dir for any query and for DuckDB view
+registration).
 
 Usage: python gen_sfscale.py [out_dir] [replicas]   (defaults:
 <repo>/.scratch/sf1, 10)
@@ -40,6 +50,7 @@ import sys
 
 SRC = "/root/testdata/sf0.1"
 ID_STRIDE = 1_000_000  # max sf0.1 doc_id is ~5e3; stride keeps ids disjoint
+LABEL_STRIDE = 100_000  # embeddings carry 10 labels; stride keeps them disjoint
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings".split()
@@ -72,8 +83,31 @@ def generate(src: str, out: pathlib.Path, replicas: int) -> int:
     con.execute(
         f"COPY ({sql}) TO '{out / 'documents.parquet'}' (FORMAT PARQUET)"
     )
+    emb_legs = []
+    for i in range(replicas):
+        if i == 0:
+            emb_legs.append(
+                f"SELECT vec_id, embedding, label "
+                f"FROM '{src}/embeddings.parquet'"
+            )
+        else:
+            # diagonal ±1 orthogonal transform: deterministic
+            # per-(replica, dim) sign flip — norms and within-replica
+            # cosines bit-preserved, cross-replica cosines decorrelated
+            emb_legs.append(
+                f"SELECT vec_id + {i * ID_STRIDE} AS vec_id, "
+                f"list_transform(range(1, len(embedding) + 1), "
+                f"j -> (embedding[j] * (CASE WHEN hash({i} * 131 + j) % 2 = 0 "
+                f"THEN 1 ELSE -1 END))::FLOAT) AS embedding, "
+                f"label + {i * LABEL_STRIDE} AS label "
+                f"FROM '{src}/embeddings.parquet'"
+            )
+    emb_sql = " UNION ALL ".join(emb_legs)
+    con.execute(
+        f"COPY ({emb_sql}) TO '{out / 'embeddings.parquet'}' (FORMAT PARQUET)"
+    )
     for t in TABLES:
-        if t == "documents":
+        if t in ("documents", "embeddings"):
             continue
         shutil.copyfile(f"{src}/{t}.parquet", out / f"{t}.parquet")
     return con.execute(

@@ -109,6 +109,66 @@ def test_within_replica_structure_identical(blown):
     assert rows == 0
 
 
+def test_embeddings_sign_flip_is_orthogonal(blown):
+    """The replica transform must preserve norms and within-replica
+    cosine structure exactly (diagonal ±1 is orthogonal): every
+    replica-1 vector's |x_j| equals its base vector's, ids/labels are
+    re-keyed disjointly, and at least one sign actually flips (the
+    transform is not the identity, or cross-replica cosines would all
+    be 1)."""
+    out, _ = blown
+    con = duckdb.connect()
+    bad = con.execute(
+        f"""
+        WITH base AS (
+          SELECT vec_id, embedding FROM '{SRC}/embeddings.parquet'
+        ), rep AS (
+          SELECT vec_id - {gen_sfscale.ID_STRIDE} AS vec_id, embedding
+          FROM '{out}/embeddings.parquet'
+          WHERE vec_id >= {gen_sfscale.ID_STRIDE}
+        )
+        SELECT count(*) FROM base JOIN rep USING (vec_id)
+        WHERE len(base.embedding) != len(rep.embedding)
+           OR list_contains(
+                list_transform(range(1, len(base.embedding) + 1),
+                  j -> abs(base.embedding[j]) != abs(rep.embedding[j])),
+                true)
+        """
+    ).fetchone()[0]
+    assert bad == 0
+    stride = gen_sfscale.ID_STRIDE
+    flipped = con.execute(
+        f"""
+        WITH base AS (
+          SELECT vec_id, embedding FROM '{SRC}/embeddings.parquet'
+        ), rep AS (
+          SELECT vec_id - {stride} AS vec_id, embedding
+          FROM '{out}/embeddings.parquet'
+          WHERE vec_id >= {stride}
+        )
+        SELECT count(*) FROM base JOIN rep USING (vec_id)
+        WHERE list_contains(
+                list_transform(range(1, len(base.embedding) + 1),
+                  j -> base.embedding[j] != rep.embedding[j]
+                       AND base.embedding[j] != 0),
+                true)
+        """
+    ).fetchone()[0]
+    assert flipped > 0
+    dup_labels = con.execute(
+        f"""
+        SELECT count(*) FROM (
+          SELECT label FROM '{out}/embeddings.parquet'
+          WHERE vec_id < {gen_sfscale.ID_STRIDE}
+          INTERSECT
+          SELECT label FROM '{out}/embeddings.parquet'
+          WHERE vec_id >= {gen_sfscale.ID_STRIDE}
+        )
+        """
+    ).fetchone()[0]
+    assert dup_labels == 0
+
+
 def test_zero_cross_replica_shingle_matches(blown):
     out, _ = blown
     con = duckdb.connect()
