@@ -3371,22 +3371,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "zorder_index": q_zorder_index,
         # -- (1) the 8 round-9-touched keys, filling the 50-key
-        #    window exactly: kmv_distinct (bucket count parameterized),
-        #    simhash_pairs (chunk geometry now derived from shared
-        #    constants), the bucket_pairs consumers affected by the
-        #    identifier-quoting change (minhash_lsh_pairs,
-        #    containment_pairs, dedup_clusters, dedup_clusters_star),
-        #    and the two round-9 perf/regression subjects
+        #    window exactly, materially-changed first: the two
+        #    hyperplane-LSH keys whose PLAN changed (in-row codegen
+        #    bucket projection replaces the explode->agg->join
+        #    signature build), then kmv_distinct (bucket count
+        #    parameterized), simhash_pairs (chunk geometry from shared
+        #    constants), the remaining bucket_pairs identifier-quoting
+        #    consumers, and the two round-9 perf/regression subjects
         #    (prefix_filter_pairs, triangle_count_oriented). After r9
         #    every key's driver row is r7+ --
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
         "kmv_distinct": q_kmv_distinct,
         "simhash_pairs": q_simhash_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "dedup_clusters_star": q_dedup_clusters_star,
         "prefix_filter_pairs": q_prefix_filter_pairs,
         "triangle_count_oriented": q_triangle_count_oriented,
-        "dedup_clusters": q_dedup_clusters,
-        "containment_pairs": q_containment_pairs,
         # -- (2) the remaining r7-latest keys, alphabetical --
         "analytic_window": q_analytic_window,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
@@ -3400,10 +3401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune": q_bloom_prune,
         "bucketed_join_colocated": q_bucketed_join_colocated,
         "centroid_distances": q_centroid_distances,
+        "containment_pairs": q_containment_pairs,
         "cosine_neardup": q_cosine_neardup,
-        "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "count_by_key": q_count_by_key,
         "cube_agg": q_cube_agg,
+        "dedup_clusters": q_dedup_clusters,
         "duplicate_spans": q_duplicate_spans,
         "filter_orders": q_filter_orders,
         "grouping_sets_agg": q_grouping_sets_agg,
@@ -3411,7 +3413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_part": q_join_broadcast_part,
         "kmeans_refine": q_kmeans_refine,
         "kmv_set_ops": q_kmv_set_ops,
-        "lsh_bucket_counts": q_lsh_bucket_counts,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "pagerank_domains": q_pagerank_domains,
         "pq_code_histogram": q_pq_code_histogram,

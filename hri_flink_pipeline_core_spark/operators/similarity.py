@@ -302,35 +302,46 @@ def hyperplane_signature(vec: Column, planes: list[list[float]] | None = None) -
     return acc
 
 
+def hyperplane_bucket_sql(vec_col: str, planes: list[list[float]] | None = None) -> str:
+    """The hyperplane-LSH bucket as ONE in-row SQL expression: per
+    plane, a codegen'd left-chained sum of CAST(get(vec, i) AS DOUBLE)
+    * w_i (the planes are literal constants, so the dot is 512
+    multiply-adds in whole-stage codegen — no posexplode, no groupBy,
+    no join anywhere). Left-chained ``+`` evaluates in index order,
+    bit-identical to the DuckDB oracle's sequential list_reduce fold
+    (plans/oracles.py hyperplane_sig_sql) AND to the former
+    explode->sum form this replaces (round 9: that shape paid a 64x
+    row blow-up, an id-keyed aggregate shuffle and an id join PER
+    CONSUMER — all deleted; bucket assignment is now a scan-side
+    projection, the same literal-model pattern as nearest_label_col).
+    Built as a SQL string: one F.expr parse instead of ~512 per-Column
+    py4j round trips (the round-8 construction rule)."""
+    planes = planes or HYPERPLANES
+    parts = []
+    for j, plane in enumerate(planes):
+        terms = " + ".join(
+            f"CAST(get({vec_col}, {i}) AS DOUBLE) * {w!r}D"
+            for i, w in enumerate(plane)
+        )
+        parts.append(
+            f"(CASE WHEN ({terms}) > 0 THEN CAST({2**j} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
 def hyperplane_signatures(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     planes: list[list[float]] | None = None,
 ) -> DataFrame:
-    """(id, bucket) — the distributed form of ``hyperplane_signature``:
-    posexplode the vector to (id, i, x) rows, then one groupBy with 8
-    codegen'd sum(x * plane_j[i]) aggregates (interpreted lambda folds
-    are ~40x slower). Exploded rows stay contiguous per id, so the
-    map-side partial sum accumulates in index order — bit-identical to
-    the sequential left-fold the oracle computes."""
-    planes = planes or HYPERPLANES
-    ex = df.select(
-        F.col(id_col).alias("id"), F.posexplode(F.col(vec_col)).alias("i", "x")
+    """(id, bucket) — scan-side projection of ``hyperplane_bucket_sql``;
+    kept for callers that want the skinny signature table shape."""
+    return df.selectExpr(
+        f"{id_col} AS id",
+        f"{hyperplane_bucket_sql(vec_col, planes)} AS bucket",
     )
-    plane_lits = [F.array(*[F.lit(w) for w in plane]) for plane in planes]
-    dots = [
-        F.sum(F.col("x").cast("double") * F.get(pa, F.col("i"))).alias(f"_d{j}")
-        for j, pa in enumerate(plane_lits)
-    ]
-    agged = ex.groupBy("id").agg(*dots)
-    bucket = None
-    for j in range(len(planes)):
-        term = F.when(F.col(f"_d{j}") > 0, F.lit(2**j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        bucket = term if bucket is None else bucket + term
-    return agged.select("id", bucket.alias("bucket"))
 
 
 def lsh_bucket_counts(
@@ -356,13 +367,15 @@ def cosine_neardup_lsh(
     equi-join on the bucket key (one shuffle, pair count bounded by
     bucket occupancy). Recall tradeoff: cross-bucket near-dups are
     missed; add multi-probe (fewer signature bits) to raise recall."""
-    # NOT persisted (measured): the 8-dot hyperplane signature is cheap
-    # enough that recomputing it per join side beats a persist
-    # populate barrier (1.25 s vs 1.72 s at sf0.1).
-    sigs = hyperplane_signatures(df, vec_col, id_col).withColumnRenamed(
-        "id", id_col
+    # Bucket is an in-row codegen projection (round 9,
+    # hyperplane_bucket_sql) — no signature join at all; each pair-join
+    # side recomputes the 512-flop bucket off its own scan, which beats
+    # both the former explode->agg->join signature build and a persist
+    # populate barrier (the round-7 measurement that rejected persist
+    # applies a fortiori to a plain projection).
+    with_bucket = df.withColumn(
+        "bucket", F.expr(hyperplane_bucket_sql(vec_col))
     )
-    with_bucket = df.join(sigs, id_col)
     return cosine_neardup_pairs(
         with_bucket, threshold=threshold, id_col=id_col, vec_col=vec_col,
         block_col="bucket",
