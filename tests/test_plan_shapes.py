@@ -701,3 +701,40 @@ def test_kmeans_refine_literal_model(spark, sf001):
     ):
         assert join_op not in plan, join_op
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_lsh_bucket_counts_is_scan_side_projection(spark, sf001):
+    """Round-9 hyperplane rewrite: the LSH bucket is an in-row codegen
+    expression over the ±1 literal planes — the former posexplode +
+    id-keyed 8-sum aggregate + signature join are all gone. The whole
+    plan is scan → project → one vocabulary-sized count aggregate:
+    no Generate (no explode), no join of any kind, and exactly one
+    aggregate pair (the bucket histogram itself)."""
+    plan = plan_of(
+        entry.queries()["lsh_bucket_counts"](spark, sf001), mode="simple"
+    )
+    assert "Generate" not in plan  # no posexplode
+    for join_op in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+        "ShuffledHashJoin",
+    ):
+        assert join_op not in plan, join_op
+    assert plan.count("HashAggregate") == 2  # partial + final histogram
+
+
+def test_cosine_neardup_lsh_has_no_signature_join(spark, sf001):
+    """The pair join on the bucket key must be the ONLY join in the
+    plan — the bucket rides each side's scan as a projection instead of
+    joining a signature table back to the corpus (round 9)."""
+    plan = plan_of(
+        entry.queries()["cosine_neardup_lsh"](spark, sf001), mode="simple"
+    )
+    assert "Generate" not in plan
+    n_joins = sum(
+        plan.count(op)
+        for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, plan
