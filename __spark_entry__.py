@@ -2755,6 +2755,13 @@ def q_pmi_bigrams(spark, sf_dir):
     docs = _tp(spark, sf_dir, "documents")
     toks = TX.tokens(F.lower(F.col("text")))
     with_toks = docs.select(toks.alias("toks"))
+    # NOT checkpointed (round 9, measured): the unigram table feeds
+    # three consumers and the plan shows 4 corpus scans, but a paired
+    # A/B of the checkpointed form lost 2 of 3 rounds — the vocab agg
+    # is cheap enough that pipelined recompute beats the populate
+    # barrier, the same verdict as prefix_filter's verify leg
+    # (BASELINE.md round 9). cooccurrence_lift's dt checkpoint DID win
+    # because its re-run work includes a corpus-sized distinct.
     uni = with_toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
         F.count(F.lit(1)).alias("c")
     )
@@ -3264,9 +3271,19 @@ def q_cooccurrence_lift(spark, sf_dir):
     wraps once corpus doc counts hit ~1e9, ADVICE r4); the top-20 is
     a distributed TakeOrderedAndProject."""
     docs = _tp(spark, sf_dir, "documents")
-    dt = docs.select(
-        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
-    ).distinct()
+    # checkpointed (round 9): the (doc, token) distinct feeds the
+    # marginal count AND both pair-join sides — un-checkpointed, the
+    # executed plan re-ran the corpus explode + distinct exchange 3x
+    # (11 parquet scans, 0 ReusedExchange: the spread() repartition
+    # defeats exchange reuse). Same corpus-scale spill-vs-recompute
+    # call as duplicate_spans' shingle rows (SCALING.md).
+    dt = (
+        docs.select(
+            "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+        )
+        .distinct()
+        .transform(checkpoint_small)
+    )
     n_docs = docs.agg(F.count(F.lit(1)).alias("nd"))
     marg_all = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     marg = (
