@@ -1,0 +1,122 @@
+"""Paired A/B for JVM-level variants on the heavy data-path subset.
+
+Round-9 context: all five round-9 epochs (including one on a
+freshly-rebooted idle host) run the suite ~30-40% slower than every
+round-8 epoch, with DuckDB numbers UNCHANGED-to-faster on the same
+pairs and the committed code proven parity (BASELINE.md round-9
+epoch-pair section). The raw per-job floor is unchanged (0.32 s
+shuffle-job min, matching the round-3 measurement), so the inflation
+lives in the parallel data path inside the JVM. This harness asks
+whether a JVM-level knob (GC algorithm, heap size) recovers any of it.
+
+Modes (each its own fresh JVM via a child process; configs that must
+precede JVM launch are passed as builder extra_conf before
+bench._run_names reuses the session):
+
+  A = shipped config (G1 default, 8g driver heap)
+  B = -XX:+UseParallelGC (throughput GC: shuffle-churn allocation
+      patterns often favor it over G1's pause-target heuristics)
+  C = 16g driver heap (G1): tests whether 32 task threads' shuffle
+      buffers pressure the 8g old gen
+  D = ParallelGC + 16g
+
+Modes alternate A,B,C,D per round in one wall-clock epoch so host
+weather hits all sides. Usage: python ab_gc.py [rounds]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+NAMES = [
+    "incremental_neardup",
+    "ngram_jaccard_pairs",
+    "containment_pairs",
+    "dedup_clusters_star",
+    "prefix_filter_pairs",
+    "semdedup_prune",
+    "triangle_count",
+    "kmv_set_ops",
+    "ann_pq_recall",
+    "bm25_topk",
+]
+
+_REPO_ROOT = str(__import__("pathlib").Path(__file__).resolve().parent)
+
+MODES = {
+    "A": {},
+    "B": {"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"},
+    "C": {"spark.driver.memory": "16g"},
+    "D": {
+        "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+        "spark.driver.memory": "16g",
+    },
+}
+
+_CHILD = r"""
+import json, sys
+sys.path.insert(0, %(repo)r)
+mode = sys.argv[1]
+extra = %(modes)r[mode]
+from hri_flink_pipeline_core_spark.session import get_spark
+# create the session FIRST with the mode's launch-time configs;
+# bench._run_names's get_spark() then reuses it (getOrCreate)
+spark = get_spark("ab-gc", extra_conf=extra)
+import bench
+timings, errors = bench._run_names(%(names)r)
+print("AB_RESULT " + json.dumps({"mode": mode, "timings": timings, "errors": errors}))
+"""
+
+
+def run_mode(mode: str) -> dict[str, float]:
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _CHILD % {"names": NAMES, "repo": _REPO_ROOT, "modes": MODES},
+            mode,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        env=os.environ,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("AB_RESULT "):
+            d = json.loads(line[len("AB_RESULT ") :])
+            if d["errors"]:
+                print("errors:", d["errors"], file=sys.stderr)
+            return d["timings"]
+    print(out.stdout[-2000:], file=sys.stderr)
+    print(out.stderr[-2000:], file=sys.stderr)
+    raise RuntimeError(f"mode {mode} produced no AB_RESULT")
+
+
+def main() -> int:
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    acc: dict[str, dict[str, float]] = {m: {} for m in MODES}
+    for r in range(rounds):
+        for mode in MODES:
+            t = run_mode(mode)
+            for k, v in t.items():
+                acc[mode][k] = min(acc[mode].get(k, v), v)
+            print(
+                json.dumps(
+                    {"round": r, "mode": mode, "total": round(sum(t.values()), 2)}
+                ),
+                flush=True,
+            )
+    print("\nper-query min across rounds:")
+    for k in NAMES:
+        row = "  ".join(f"{m}={acc[m].get(k, float('nan')):6.2f}" for m in MODES)
+        print(f"{k:28s} {row}")
+    for m in MODES:
+        print(f"TOTAL {m} = {sum(acc[m].values()):.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -85,6 +85,25 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.spill.compress", "true")
+        # Throughput GC for the batch engine (round 9, paired A/B on a
+        # host where JDK-17-default G1 inflated EVERY query): ParallelGC
+        # won all 20 A/B'd queries across three paired rounds — heavy
+        # shuffle/dedup keys 0.72-0.97x, scan-agg micro-queries
+        # 0.59-0.80x, -18/-22% on the two subsets (ab_gc.py;
+        # BASELINE.md round-9 GC section). Spark's allocation pattern
+        # (short-lived task buffers, whole-young collections) is the
+        # textbook ParallelGC case; G1's concurrent phases compete with
+        # the 32 task threads for cores. Latency-sensitive streaming
+        # deployments can override via $SPARK_GRAFT_GC_OPTS (e.g.
+        # "-XX:+UseG1GC"); on a real cluster mirror the choice in
+        # spark.executor.extraJavaOptions (local mode has one JVM, so
+        # the driver flag covers everything here). NOTE: a reused live
+        # session keeps its launch-time GC — this flag only applies to
+        # the process that creates the JVM.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
