@@ -40,3 +40,14 @@ def test_get_spark_local_mode_advisory(spark):
         spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         == "2m"
     )
+
+
+def test_get_spark_gc_default(spark):
+    """The driver JVM defaults to ParallelGC (round-9 paired A/B:
+    JDK-17-default G1 taxed every benchmarked query 18-22%; BASELINE.md
+    round-9 GC section). $SPARK_GRAFT_GC_OPTS overrides — this pins the
+    DEFAULT so the flag can't silently fall out of the builder."""
+    import os
+
+    expected = os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC")
+    assert spark.conf.get("spark.driver.extraJavaOptions") == expected
