@@ -13,7 +13,9 @@ Modes (each its own fresh JVM via a child process; configs that must
 precede JVM launch are passed as builder extra_conf before
 bench._run_names reuses the session):
 
-  A = shipped config (G1 default, 8g driver heap)
+  A = -XX:+UseG1GC, 8g driver heap (the JDK-17 default collector and
+      the config shipped before this A/B; pinned explicitly because
+      session.py now defaults to ParallelGC)
   B = -XX:+UseParallelGC (throughput GC: shuffle-churn allocation
       patterns often favor it over G1's pause-target heuristics)
   C = 16g driver heap (G1): tests whether 32 task threads' shuffle
@@ -46,10 +48,16 @@ NAMES = [
 
 _REPO_ROOT = str(__import__("pathlib").Path(__file__).resolve().parent)
 
+# G1 is pinned EXPLICITLY: after this A/B landed, session.py's default
+# became ParallelGC, so a bare {} would now launch ParallelGC too and
+# the harness would compare identical JVMs (round-9 review finding).
 MODES = {
-    "A": {},
+    "A": {"spark.driver.extraJavaOptions": "-XX:+UseG1GC"},
     "B": {"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"},
-    "C": {"spark.driver.memory": "16g"},
+    "C": {
+        "spark.driver.extraJavaOptions": "-XX:+UseG1GC",
+        "spark.driver.memory": "16g",
+    },
     "D": {
         "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
         "spark.driver.memory": "16g",
@@ -114,7 +122,12 @@ def main() -> int:
         row = "  ".join(f"{m}={acc[m].get(k, float('nan')):6.2f}" for m in MODES)
         print(f"{k:28s} {row}")
     for m in MODES:
-        print(f"TOTAL {m} = {sum(acc[m].values()):.2f}")
+        # totals over unequal key sets are not comparable — flag a mode
+        # that lost a query to an error instead of printing a silent
+        # ~10% "win" (round-9 review finding)
+        missing = [k for k in NAMES if k not in acc[m]]
+        note = f"  (INCOMPLETE — missing {missing})" if missing else ""
+        print(f"TOTAL {m} = {sum(acc[m].values()):.2f}{note}")
     return 0
 
 

@@ -170,6 +170,9 @@ def load_artifact(path: str) -> list[dict]:
 
 def _show(path: str) -> int:
     docs = load_artifact(path)
+    if not docs:
+        print(f"no JSON documents in {path}", file=sys.stderr)
+        return 2
     full = max(docs, key=lambda d: len(d.get("queries", {})))
     q = full.get("queries", {})
     print(
@@ -286,8 +289,14 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 4 and sys.argv[1] == "--child":
-        raise SystemExit(_child(sys.argv[2], sys.argv[3]))
-    if len(sys.argv) >= 3 and sys.argv[1] == "--show":
+    # a flag with its operand missing must fail loudly, not fall
+    # through and launch the full multi-minute suite (round-9 review)
+    if len(sys.argv) >= 2 and sys.argv[1] in ("--child", "--show"):
+        need = 4 if sys.argv[1] == "--child" else 3
+        if len(sys.argv) < need:
+            print(f"usage: bench.py {sys.argv[1]} <args>", file=sys.stderr)
+            raise SystemExit(2)
+        if sys.argv[1] == "--child":
+            raise SystemExit(_child(sys.argv[2], sys.argv[3]))
         raise SystemExit(_show(sys.argv[2]))
     raise SystemExit(main())

@@ -63,6 +63,24 @@ def generate(src: str, out: pathlib.Path, replicas: int) -> int:
 
     out.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
+    # The per-replica vocabulary bijection assumes NO base token already
+    # carries a replica suffix: a literal 'foo_s1' in replica 0 would
+    # collide with replica 1's rewrite of 'foo', replicas would share
+    # shingles, and pair counts would scale super-linearly — silently
+    # invalidating the linear-scaling contract the generator exists to
+    # provide (round-9 review finding). Assert it on the actual corpus,
+    # not just the toy test fixture.
+    n_tainted = con.execute(
+        f"SELECT count(*) FROM '{src}/documents.parquet' "
+        f"WHERE regexp_matches(text, '\\S_s[0-9]+(\\s|$)')"
+    ).fetchone()[0]
+    if n_tainted:
+        raise ValueError(
+            f"{n_tainted} base documents contain a token ending in the "
+            f"replica suffix pattern '_s<i>'; the cross-replica shingle "
+            f"disjointness contract would not hold — pick a different "
+            f"suffix scheme for this corpus"
+        )
     legs = []
     for i in range(replicas):
         if i == 0:

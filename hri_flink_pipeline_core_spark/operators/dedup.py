@@ -270,11 +270,16 @@ def bucket_pairs(
         f"{cell_sql} AS _gb",
         *[f"{_q(f)} AS {_q(f + '_b')}" for f in fields],
     )
+    # downstream references stay backtick-quoted too — F.col / select
+    # parse dots as struct navigation, so a half-quoted pipeline would
+    # reintroduce the hazard the side selects just closed (round-9
+    # review finding). join(on=[names]) resolves names literally
+    # (UsingJoin), so the key list needs no quoting.
     pair_cols = [f"{f}_a" for f in fields] + [f"{f}_b" for f in fields]
     return (
         side_a.join(side_b, [*keys, "_ga", "_gb"])
-        .filter(F.col(f"{first}_a") < F.col(f"{first}_b"))
-        .select(*pair_cols)
+        .filter(F.col(_q(f"{first}_a")) < F.col(_q(f"{first}_b")))
+        .select(*[F.col(_q(c)) for c in pair_cols])
     )
 
 
@@ -875,6 +880,11 @@ def connected_components_star(
     (near-dup pairs), so materialization is free; production clusters
     wanting executor-loss resilience would swap in reliable
     ``checkpoint`` with a checkpoint dir — same plan shape."""
+    if check_cadence < 1:
+        # 0 would ZeroDivisionError on the modulo; a negative value
+        # silently defers every convergence check to the final round —
+        # a 25x cost regression with no signal (round-9 review finding)
+        raise ValueError(f"check_cadence must be >= 1, got {check_cadence}")
     cur = _cc_normalize(
         pairs.select(F.col(a_col).alias("x"), F.col(b_col).alias("y"))
     ).transform(checkpoint_small)

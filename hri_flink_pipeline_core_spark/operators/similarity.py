@@ -41,6 +41,16 @@ DEFAULT_PLANES = 8
 MAX_BLAS_QUERIES = 100_000
 
 
+def _qi(name: str) -> str:
+    """Backtick-quote an identifier for SQL-string builders, so a
+    reserved word or odd character parses as a column reference, never
+    as an expression — the same guard bucket_pairs applies (ADVICE r8;
+    extended to the hyperplane builders by the round-9 review)."""
+    if "`" in name:
+        raise ValueError(f"illegal backtick in column name: {name!r}")
+    return f"`{name}`"
+
+
 def dot(a: Column, b: Column) -> Column:
     """Left-fold dot product in double (index order, codegen'd)."""
     return F.aggregate(
@@ -315,12 +325,28 @@ def hyperplane_bucket_sql(vec_col: str, planes: list[list[float]] | None = None)
     CONSUMER — all deleted; bucket assignment is now a scan-side
     projection, the same literal-model pattern as nearest_label_col).
     Built as a SQL string: one F.expr parse instead of ~512 per-Column
-    py4j round trips (the round-8 construction rule)."""
+    py4j round trips (the round-8 construction rule).
+
+    Null semantics match the explode->sum form this replaced: a vector
+    shorter than the plane (or with a null element) contributes its
+    PRESENT terms to the dot — a bare chained ``+`` would let one NULL
+    poison the whole plane sum and silently route the row to bucket 0
+    (round-9 review finding). The per-term COALESCE measured FLAT on
+    the bucket-histogram consumer (0.50 vs 0.51 s paired) — the null
+    check rides the same codegen multiply-add; a fast-path variant
+    (``COALESCE(<bare chain>, <guarded chain>)`` per plane) was tried
+    and REJECTED: doubling the expression to 1024 terms/plane fell out
+    of efficient codegen and ran ~2x slower on BOTH consumers (paired
+    rounds 5-6, BASELINE.md). Degenerate rows (null/empty vector) are
+    the CALLER's contract: filter with ``nonempty_vec_sql`` first, as
+    the old inner join to the exploded signature table did
+    implicitly."""
     planes = planes or HYPERPLANES
+    qv = _qi(vec_col)
     parts = []
     for j, plane in enumerate(planes):
         terms = " + ".join(
-            f"CAST(get({vec_col}, {i}) AS DOUBLE) * {w!r}D"
+            f"COALESCE(CAST(get({qv}, {i}) AS DOUBLE) * {w!r}D, 0D)"
             for i, w in enumerate(plane)
         )
         parts.append(
@@ -330,6 +356,15 @@ def hyperplane_bucket_sql(vec_col: str, planes: list[list[float]] | None = None)
     return "(" + " + ".join(parts) + ")"
 
 
+def nonempty_vec_sql(vec_col: str) -> str:
+    """WHERE-clause restoring the old signature-join row drop: rows
+    whose vector is NULL or empty produced no exploded signature rows
+    and vanished from every hyperplane consumer; the in-row bucket
+    projection keeps every input row, so callers filter explicitly."""
+    qv = _qi(vec_col)
+    return f"{qv} IS NOT NULL AND size({qv}) > 0"
+
+
 def hyperplane_signatures(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -337,9 +372,12 @@ def hyperplane_signatures(
     planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """(id, bucket) — scan-side projection of ``hyperplane_bucket_sql``;
-    kept for callers that want the skinny signature table shape."""
-    return df.selectExpr(
-        f"{id_col} AS id",
+    kept for callers that want the skinny signature table shape.
+    Degenerate rows (null/empty vector) are dropped, matching the
+    former explode->agg->join shape, where they produced no signature
+    rows at all."""
+    return df.where(nonempty_vec_sql(vec_col)).selectExpr(
+        f"{_qi(id_col)} AS id",
         f"{hyperplane_bucket_sql(vec_col, planes)} AS bucket",
     )
 
@@ -373,7 +411,7 @@ def cosine_neardup_lsh(
     # both the former explode->agg->join signature build and a persist
     # populate barrier (the round-7 measurement that rejected persist
     # applies a fortiori to a plain projection).
-    with_bucket = df.withColumn(
+    with_bucket = df.where(nonempty_vec_sql(vec_col)).withColumn(
         "bucket", F.expr(hyperplane_bucket_sql(vec_col))
     )
     return cosine_neardup_pairs(

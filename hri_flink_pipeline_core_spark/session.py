@@ -117,8 +117,15 @@ def get_spark(
     # the same misconfiguration class the ValueError above guards
     # (ADVICE r8). Warn on mismatch; the advisory IS runtime-settable,
     # so also apply the requested value.
-    want = os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", advisory_default)
-    have = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", want)
+    # an explicit extra_conf advisory outranks env/mode — without this,
+    # a FRESH session built with extra_conf={...advisory: '32m'} would
+    # be warned about and force-reset to the mode default (round-9
+    # review finding: profile_floor's 32m variants silently profiled 2m)
+    _ADV_KEY = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    want = (extra_conf or {}).get(
+        _ADV_KEY, os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", advisory_default)
+    )
+    have = spark.conf.get(_ADV_KEY, want)
     if have != want:
         import warnings
 
@@ -128,7 +135,7 @@ def get_spark(
             f"requested value (other builder configs stay as created)",
             stacklevel=2,
         )
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", want)
+        spark.conf.set(_ADV_KEY, want)
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

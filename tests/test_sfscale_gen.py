@@ -186,3 +186,26 @@ def test_zero_cross_replica_shingle_matches(blown):
         """
     ).fetchone()[0]
     assert shared == 0
+
+
+def test_tainted_base_corpus_is_rejected(tmp_path):
+    """A base token already carrying the replica suffix pattern would
+    break cross-replica shingle disjointness (replica 1's rewrite of
+    'foo' collides with a literal 'foo_s1') — generate() must refuse
+    instead of silently producing super-linear pair scaling (round-9
+    review finding)."""
+    con = duckdb.connect()
+    src = tmp_path / "tainted"
+    src.mkdir()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (1, 'alpha beta gamma delta epsilon zeta', 'en', 'src0', 36),
+            (2, 'alpha_s1 beta gamma delta epsilon zeta', 'en', 'src0', 39)
+          ) AS t(doc_id, text, lang, source, n_chars)
+        ) TO '{src / "documents.parquet"}' (FORMAT PARQUET)
+        """
+    )
+    with pytest.raises(ValueError, match="replica suffix"):
+        gen_sfscale.generate(str(src), tmp_path / "out", replicas=2)

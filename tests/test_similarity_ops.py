@@ -252,3 +252,65 @@ def test_kmv_set_ops_absent_language_one_sided_pairs(spark, tmp_path):
     assert (one_sided.exact_intersect == 0).all()
     assert (one_sided.est_intersect == 0.0).all()
     assert (one_sided.exact_union > 0).all()
+
+
+def test_hyperplane_degenerate_and_short_vectors(spark):
+    """In-row bucket projection must match the former explode->agg->join
+    semantics on non-clean corpora (round-9 review finding): null/empty
+    vectors DROP (they produced no signature rows), short vectors keep
+    their PARTIAL dot (per-term COALESCE; a bare chained + would NULL-
+    poison the plane sums and silently route the row to bucket 0)."""
+    from hri_flink_pipeline_core_spark.operators.similarity import (
+        HYPERPLANES,
+        hyperplane_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, None), (3, []), (4, [0.5] * 16)],
+        "vec_id int, embedding array<double>",
+    )
+    got = {r["id"]: r["bucket"] for r in hyperplane_signatures(df).collect()}
+    assert set(got) == {1, 4}
+    expect4 = sum(
+        2 ** j
+        for j, p in enumerate(HYPERPLANES)
+        if sum(0.5 * w for w in p[:16]) > 0
+    )
+    assert got[4] == expect4
+
+
+def test_hyperplane_and_bucket_pairs_quote_identifiers(spark):
+    """Reserved-word / dotted column names must parse as column
+    references through the SQL-string builders end-to-end — the side
+    selects AND the downstream filter/select (round-9 review: the
+    ADVICE-r8 quoting was only half-applied)."""
+    from hri_flink_pipeline_core_spark.operators.dedup import bucket_pairs
+    from hri_flink_pipeline_core_spark.operators.similarity import (
+        hyperplane_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64), (4, [0.5] * 16)],
+        "`order` int, `the.vec` array<double>",
+    )
+    sig = hyperplane_signatures(df, vec_col="the.vec", id_col="order")
+    assert {r["id"] for r in sig.collect()} == {1, 4}
+
+    m = spark.createDataFrame(
+        [("b1", "x.1"), ("b1", "x.2"), ("b1", "x.3")],
+        "bkt string, `doc.id` string",
+    )
+    out = bucket_pairs(m, keys=["bkt"], fields=["doc.id"], member_ckpt=False)
+    got = sorted((r["doc.id_a"], r["doc.id_b"]) for r in out.collect())
+    assert got == [("x.1", "x.2"), ("x.1", "x.3"), ("x.2", "x.3")]
+
+
+def test_star_cc_rejects_bad_cadence(spark):
+    from hri_flink_pipeline_core_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame([("a", "b")], "doc_a string, doc_b string")
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="check_cadence"):
+            connected_components_star(pairs, check_cadence=bad)
