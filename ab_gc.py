@@ -29,8 +29,6 @@ weather hits all sides. Usage: python ab_gc.py [rounds]
 from __future__ import annotations
 
 import json
-import os
-import subprocess
 import sys
 
 NAMES = [
@@ -79,55 +77,23 @@ print("AB_RESULT " + json.dumps({"mode": mode, "timings": timings, "errors": err
 """
 
 
-def run_mode(mode: str) -> dict[str, float]:
-    out = subprocess.run(
-        [
-            sys.executable,
-            "-c",
-            _CHILD % {"names": NAMES, "repo": _REPO_ROOT, "modes": MODES},
-            mode,
-        ],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-        env=os.environ,
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("AB_RESULT "):
-            d = json.loads(line[len("AB_RESULT ") :])
-            if d["errors"]:
-                print("errors:", d["errors"], file=sys.stderr)
-            return d["timings"]
-    print(out.stdout[-2000:], file=sys.stderr)
-    print(out.stderr[-2000:], file=sys.stderr)
-    raise RuntimeError(f"mode {mode} produced no AB_RESULT")
-
-
 def main() -> int:
+    import ab_common
+
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    child = _CHILD % {"names": NAMES, "repo": _REPO_ROOT, "modes": MODES}
     acc: dict[str, dict[str, float]] = {m: {} for m in MODES}
     for r in range(rounds):
         for mode in MODES:
-            t = run_mode(mode)
-            for k, v in t.items():
-                acc[mode][k] = min(acc[mode].get(k, v), v)
+            t = ab_common.run_child(child, [mode])["timings"]
+            ab_common.accumulate(acc, mode, t)
             print(
                 json.dumps(
                     {"round": r, "mode": mode, "total": round(sum(t.values()), 2)}
                 ),
                 flush=True,
             )
-    print("\nper-query min across rounds:")
-    for k in NAMES:
-        row = "  ".join(f"{m}={acc[m].get(k, float('nan')):6.2f}" for m in MODES)
-        print(f"{k:28s} {row}")
-    for m in MODES:
-        # totals over unequal key sets are not comparable — flag a mode
-        # that lost a query to an error instead of printing a silent
-        # ~10% "win" (round-9 review finding)
-        missing = [k for k in NAMES if k not in acc[m]]
-        note = f"  (INCOMPLETE — missing {missing})" if missing else ""
-        print(f"TOTAL {m} = {sum(acc[m].values()):.2f}{note}")
+    ab_common.summarize(acc, NAMES)
     return 0
 
 
