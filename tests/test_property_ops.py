@@ -793,3 +793,36 @@ def test_event_funnel_matches_python_reference(spark, events):
         if purchases:
             np_ += 1
     assert (row.nv, row.nc, row.np) == (nv, nc, np_)
+
+
+def test_lsh_family_degenerate_corpus_contract(spark):
+    """Null/empty/whitespace documents must neither crash the LSH
+    family nor leak null ids into pair output (round-9 probe, the
+    class check behind the hyperplane null-semantics fix). Candidate
+    generators MAY pair degenerate docs with each other (identical
+    empty content is a legitimate duplicate candidate; the skew guard
+    caps any such hot bucket); the exact verifiers then decide."""
+    from hri_flink_pipeline_core_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, None),
+            (4, ""),
+            (5, "single"),
+            (6, "   "),
+            (7, "the quick brown fox jumps over a lazy dog"),
+        ],
+        "doc_id int, text string",
+    )
+    cands = D.minhash_lsh_candidates(docs)
+    sim = D.simhash_neardup_pairs(docs)
+    ppj = D.prefix_filter_pairs(docs)
+    jac = D.ngram_jaccard_pairs(docs, cands)
+    for df in (cands, sim, ppj, jac):
+        rows = df.collect()
+        assert not any(v is None for r in rows for v in r)
+    # the exact paths agree on the one real near-dup pair
+    assert {(r[0], r[1]) for r in ppj.collect()} == {(1, 2)}
+    assert {(r[0], r[1]) for r in jac.collect()} == {(1, 2)}
