@@ -72,10 +72,16 @@ def stream_stream_interval_join(
     cond = F.lit(True)
     for k in keys:
         cond = cond & (lw[k] == rw[k])
+    # backtick-quote the interpolated column so a reserved word or
+    # dotted name parses as a column reference (the round-9 quoting
+    # rule for SQL-string builders); the INTERVAL literals come from
+    # trusted keyword arguments, not data
+    if "`" in left_time:
+        raise ValueError(f"illegal backtick in column name: {left_time!r}")
     cond = (
         cond
-        & (rw[right_time] >= F.expr(f"{left_time} - INTERVAL {lower}"))
-        & (rw[right_time] <= F.expr(f"{left_time} + INTERVAL {upper}"))
+        & (rw[right_time] >= F.expr(f"`{left_time}` - INTERVAL {lower}"))
+        & (rw[right_time] <= F.expr(f"`{left_time}` + INTERVAL {upper}"))
     )
     return lw.join(rw, cond, how)
 
