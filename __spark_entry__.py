@@ -2257,17 +2257,23 @@ def q_bigram_topk(spark, sf_dir):
 
 def q_pagerank_domains(spark, sf_dir):
     """Fixed-2-iteration PageRank (operators/graph.py) over a synthetic
-    directed graph derived from orders (custkey/orderkey folded to 997
-    nodes). Cross-engine exact: contributions quantized to BIGINT before
-    the order-independent sum; the damped update is pointwise double.
-    Per-iteration cost: one join against the O(nodes) rank table + one
-    partial-agg groupBy — the corpus-scale edge set is persisted once."""
+    directed graph derived from orders: custkey/orderkey folded to 997
+    nodes WITHIN each 1e6-wide key block (round 10 — at every real
+    testdata SF all keys are < 1e6, so the fold is exactly the former
+    plain mod-997 there; on gen_sfscale.py's blown-up orders, whose
+    replica i keys live in block i, the graph gains 997 fresh nodes per
+    replica, so the sf-scaling table measures a graph that actually
+    grows instead of a constant 997-node fold). Cross-engine exact:
+    contributions quantized to BIGINT before the order-independent sum;
+    the damped update is pointwise double. Per-iteration cost: one join
+    against the O(nodes) rank table + one partial-agg groupBy — the
+    corpus-scale edge set is persisted once."""
     from hri_flink_pipeline_core_spark.operators.graph import pagerank
 
     o = _t(spark, sf_dir, "orders")
     edges = o.select(
-        (F.col("o_custkey") % 997).alias("src"),
-        (F.col("o_orderkey") % 997).alias("dst"),
+        F.expr("o_custkey % 997 + 997 * (o_custkey DIV 1000000)").alias("src"),
+        F.expr("o_orderkey % 997 + 997 * (o_orderkey DIV 1000000)").alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
     return pagerank(edges, iterations=2)
 
@@ -4210,8 +4216,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_domains": """
             WITH edges AS (
-              SELECT DISTINCT o_custkey % 997 AS src, o_orderkey % 997 AS dst
-              FROM orders WHERE o_custkey % 997 <> o_orderkey % 997
+              SELECT DISTINCT o_custkey % 997 + 997 * (o_custkey // 1000000) AS src,
+                              o_orderkey % 997 + 997 * (o_orderkey // 1000000) AS dst
+              FROM orders
+              WHERE o_custkey % 997 + 997 * (o_custkey // 1000000)
+                 <> o_orderkey % 997 + 997 * (o_orderkey // 1000000)
             ), nodes AS (
               SELECT src AS node FROM edges UNION SELECT dst FROM edges
             ), outdeg AS (

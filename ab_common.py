@@ -21,18 +21,36 @@ import sys
 
 def run_child(child_src: str, argv: list[str], timeout: int = 1800) -> dict:
     """Run ``python -c child_src *argv`` and return the parsed AB_RESULT
-    payload. Surfaces the child's stderr tail on protocol failure."""
-    out = subprocess.run(
-        [sys.executable, "-c", child_src, *argv],
-        capture_output=True,
-        text=True,
-        timeout=timeout,
-        env=os.environ,
-    )
+    payload (always carries a possibly-empty ``errors`` dict — round-10
+    review: partial failures must reach the caller's accumulator, not
+    just stderr). A subprocess timeout returns a payload with empty
+    timings and a ``__timeout__`` error instead of raising away every
+    round already accumulated. Surfaces the child's stderr tail on
+    protocol failure."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", child_src, *argv],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+            env=os.environ,
+        )
+    except subprocess.TimeoutExpired as exc:
+        print(f"child {argv!r} timed out after {timeout}s", file=sys.stderr)
+        tail = (exc.stderr or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode("utf-8", "replace")
+        print(tail[-2000:], file=sys.stderr)
+        return {
+            "mode": argv[0] if argv else "?",
+            "timings": {},
+            "errors": {"__timeout__": f"exceeded {timeout}s"},
+        }
     for line in out.stdout.splitlines():
         if line.startswith("AB_RESULT "):
             d = json.loads(line[len("AB_RESULT ") :])
-            if d.get("errors"):
+            d.setdefault("errors", {})
+            if d["errors"]:
                 print("errors:", d["errors"], file=sys.stderr)
             return d
     print(out.stdout[-2000:], file=sys.stderr)
@@ -40,17 +58,32 @@ def run_child(child_src: str, argv: list[str], timeout: int = 1800) -> dict:
     raise RuntimeError(f"child {argv!r} produced no AB_RESULT")
 
 
-def accumulate(acc: dict[str, dict[str, float]], mode: str, timings: dict) -> None:
-    """Fold one round's timings into the per-mode min accumulator."""
+def accumulate(
+    acc: dict[str, dict[str, float]],
+    mode: str,
+    timings: dict,
+    errors: dict | None = None,
+    err_acc: dict[str, dict[str, str]] | None = None,
+) -> None:
+    """Fold one round's timings into the per-mode min accumulator; a
+    round's errors fold into ``err_acc`` so summarize can annotate the
+    INCOMPLETE flag with the cause (round-10 review)."""
     slot = acc.setdefault(mode, {})
     for k, v in timings.items():
         slot[k] = min(slot.get(k, v), v)
+    if errors and err_acc is not None:
+        err_acc.setdefault(mode, {}).update(errors)
 
 
-def summarize(acc: dict[str, dict[str, float]], names: list[str]) -> None:
+def summarize(
+    acc: dict[str, dict[str, float]],
+    names: list[str],
+    err_acc: dict[str, dict[str, str]] | None = None,
+) -> None:
     """Per-query min table + per-mode totals; totals over a mode that
     lost a query to an error are flagged INCOMPLETE rather than printed
-    as a silent win (round-9 review finding)."""
+    as a silent win (round-9 review finding), with the accumulated
+    error causes when the caller tracked them."""
     modes = list(acc)
     print("\nper-query min across rounds:")
     for k in names:
@@ -61,4 +94,7 @@ def summarize(acc: dict[str, dict[str, float]], names: list[str]) -> None:
     for m in modes:
         missing = [k for k in names if k not in acc[m]]
         note = f"  (INCOMPLETE — missing {missing})" if missing else ""
+        errs = (err_acc or {}).get(m)
+        if errs:
+            note += f"  errors={errs}"
         print(f"TOTAL {m} = {sum(acc[m].values()):.2f}{note}")

@@ -83,17 +83,19 @@ def main() -> int:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     child = _CHILD % {"names": NAMES, "repo": _REPO_ROOT, "modes": MODES}
     acc: dict[str, dict[str, float]] = {m: {} for m in MODES}
+    err_acc: dict[str, dict[str, str]] = {}
     for r in range(rounds):
         for mode in MODES:
-            t = ab_common.run_child(child, [mode])["timings"]
-            ab_common.accumulate(acc, mode, t)
+            d = ab_common.run_child(child, [mode])
+            t = d["timings"]
+            ab_common.accumulate(acc, mode, t, d.get("errors"), err_acc)
             print(
                 json.dumps(
                     {"round": r, "mode": mode, "total": round(sum(t.values()), 2)}
                 ),
                 flush=True,
             )
-    ab_common.summarize(acc, NAMES)
+    ab_common.summarize(acc, NAMES, err_acc)
     return 0
 
 

@@ -318,8 +318,9 @@ def hyperplane_bucket_sql(vec_col: str, planes: list[list[float]] | None = None)
     * w_i (the planes are literal constants, so the dot is 512
     multiply-adds in whole-stage codegen — no posexplode, no groupBy,
     no join anywhere). Left-chained ``+`` evaluates in index order,
-    bit-identical to the DuckDB oracle's sequential list_reduce fold
-    (plans/oracles.py hyperplane_sig_sql) AND to the former
+    bit-identical to the DuckDB oracle's matching per-term-COALESCE
+    chain (plans/oracles.py hyperplane_sig_sql — mirrored in round 10
+    so both engines agree on degenerate vectors too) AND to the former
     explode->sum form this replaces (round 9: that shape paid a 64x
     row blow-up, an id-keyed aggregate shuffle and an id join PER
     CONSUMER — all deleted; bucket assignment is now a scan-side

@@ -209,22 +209,39 @@ def cosine_neardup_sql(threshold: float) -> str:
 
 
 def hyperplane_sig_sql(vec: str) -> str:
-    terms = []
+    """Mirror of similarity.hyperplane_bucket_sql's NULL semantics
+    (round-10 review): each multiply-add term is COALESCE'd to 0 so a
+    short vector (or one with a NULL element) contributes its PRESENT
+    terms to the plane dot — the former bare list_reduce fold
+    NULL-poisoned the whole sum and routed such rows to bucket 0,
+    diverging from Spark exactly on the degenerate inputs the Spark
+    fix targets. DuckDB lists are 1-indexed and out-of-range access
+    returns NULL, same as Spark's get(); left-chained ``+`` keeps the
+    fold order bit-identical."""
+    parts = []
     for j, plane in enumerate(HYPERPLANES):
-        arr = "[" + ",".join(f"{w:.1f}" for w in plane) + "]"
-        d = (
-            f"list_reduce(list_transform(list_zip({vec}, {arr}),"
-            " p -> CAST(p[1] AS DOUBLE) * p[2]), (x,y) -> x+y)"
+        terms = " + ".join(
+            f"COALESCE(CAST({vec}[{i + 1}] AS DOUBLE) * {w:.1f}, 0.0)"
+            for i, w in enumerate(plane)
         )
-        terms.append(f"CASE WHEN {d} > 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END")
-    return "(" + " + ".join(terms) + ")"
+        parts.append(
+            f"CASE WHEN ({terms}) > 0 THEN {2**j}::BIGINT ELSE 0::BIGINT END"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def nonempty_vec_pred(vec: str) -> str:
+    """Mirror of similarity.nonempty_vec_sql: the Spark side drops
+    NULL/empty-vector rows before bucket assignment (the old signature
+    join dropped them implicitly); the oracle must too."""
+    return f"{vec} IS NOT NULL AND len({vec}) > 0"
 
 
 def lsh_bucket_counts_sql() -> str:
     return f"""
     SELECT {hyperplane_sig_sql('embedding')} AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM embeddings GROUP BY 1
+    FROM embeddings WHERE {nonempty_vec_pred('embedding')} GROUP BY 1
     """
 
 
@@ -235,7 +252,7 @@ def cosine_neardup_lsh_sql(threshold: float) -> str:
     WITH sig AS (
       SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm,
              {hyperplane_sig_sql('embedding')} AS bucket
-      FROM embeddings
+      FROM embeddings WHERE {nonempty_vec_pred('embedding')}
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine

@@ -67,21 +67,30 @@ def stream_stream_interval_join(
     once no counterpart can still arrive; total state is
     O(input rate x (delay + interval)), independent of stream length.
     """
+    # Every interpolated NAME gets the same treatment (round-10 review:
+    # the round-9 fix quoted only left_time, leaving keys/right_time on
+    # bracket access, which parses dotted names as struct navigation):
+    # validate no backtick, then resolve through the owning DataFrame
+    # with a backtick-quoted reference, so reserved words and dotted
+    # names are literal column names and every reference is qualified
+    # to its side — no ambiguity when both streams carry a same-named
+    # time column. The INTERVAL literals come from trusted keyword
+    # arguments, not data, and are the only F.expr left.
+    def _ref(df: DataFrame, name: str):
+        if "`" in name:
+            raise ValueError(f"illegal backtick in column name: {name!r}")
+        return df[f"`{name}`"]
+
     lw = left.withWatermark(left_time, delay)
     rw = right.withWatermark(right_time, delay)
     cond = F.lit(True)
     for k in keys:
-        cond = cond & (lw[k] == rw[k])
-    # backtick-quote the interpolated column so a reserved word or
-    # dotted name parses as a column reference (the round-9 quoting
-    # rule for SQL-string builders); the INTERVAL literals come from
-    # trusted keyword arguments, not data
-    if "`" in left_time:
-        raise ValueError(f"illegal backtick in column name: {left_time!r}")
+        cond = cond & (_ref(lw, k) == _ref(rw, k))
+    lt, rt = _ref(lw, left_time), _ref(rw, right_time)
     cond = (
         cond
-        & (rw[right_time] >= F.expr(f"`{left_time}` - INTERVAL {lower}"))
-        & (rw[right_time] <= F.expr(f"`{left_time}` + INTERVAL {upper}"))
+        & (rt >= lt - F.expr(f"INTERVAL {lower}"))
+        & (rt <= lt + F.expr(f"INTERVAL {upper}"))
     )
     return lw.join(rw, cond, how)
 

@@ -1,5 +1,7 @@
 """read_table cache: weak per-session keying + immutable-dir contract."""
 
+import pytest
+
 from hri_flink_pipeline_core_spark import session as S
 
 
@@ -51,3 +53,19 @@ def test_get_spark_gc_default(spark):
 
     expected = os.environ.get("SPARK_GRAFT_GC_OPTS", "-XX:+UseParallelGC")
     assert spark.conf.get("spark.driver.extraJavaOptions") == expected
+    # The conf string alone can't catch the flag failing to reach the
+    # JVM (launch-time GC wins over a reused session's conf — round-10
+    # review): also assert the RUNNING JVM's collector via the
+    # management beans. ParallelGC's beans are "PS Scavenge"/"PS
+    # MarkSweep"; only pin when the default applies and the live JVM is
+    # reachable.
+    if "SPARK_GRAFT_GC_OPTS" not in os.environ:
+        try:
+            beans = (
+                spark._jvm.java.lang.management.ManagementFactory
+                .getGarbageCollectorMXBeans()
+            )
+            names = [beans.get(i).getName() for i in range(beans.size())]
+        except Exception:
+            pytest.skip("JVM management beans unreachable")
+        assert any("PS" in n for n in names), names

@@ -209,3 +209,56 @@ def test_tainted_base_corpus_is_rejected(tmp_path):
     )
     with pytest.raises(ValueError, match="replica suffix"):
         gen_sfscale.generate(str(src), tmp_path / "out", replicas=2)
+
+
+def test_graph_grows_with_replicas(blown):
+    """The pagerank domain fold (key % 997 + 997 * (key // ID_STRIDE))
+    must see a graph that actually GROWS with replicas (round-10,
+    VERDICT r9 #5): each replica's orders keys live in their own
+    ID_STRIDE block, so the folded node/edge sets are disjoint copies —
+    nodes and distinct edges scale exactly x replicas, with per-replica
+    structure preserved (the former verbatim copy kept the graph at
+    <=997 nodes at every scale)."""
+    out, _ = blown
+    con = duckdb.connect()
+    fold_src = "o_custkey % 997 + 997 * (o_custkey // 1000000)"
+    fold_dst = "o_orderkey % 997 + 997 * (o_orderkey // 1000000)"
+
+    def graph_counts(path: str) -> tuple[int, int]:
+        return con.execute(
+            f"""
+            WITH edges AS (
+              SELECT DISTINCT {fold_src} AS src, {fold_dst} AS dst
+              FROM '{path}' WHERE {fold_src} <> {fold_dst}
+            )
+            SELECT (SELECT count(*) FROM
+                      (SELECT src FROM edges UNION SELECT dst FROM edges)),
+                   (SELECT count(*) FROM edges)
+            """
+        ).fetchone()
+
+    base_nodes, base_edges = graph_counts(f"{SRC}/orders.parquet")
+    blown_nodes, blown_edges = graph_counts(f"{out}/orders.parquet")
+    assert blown_nodes == 2 * base_nodes
+    assert blown_edges == 2 * base_edges
+
+
+def test_base_ids_must_fit_under_stride(tmp_path):
+    """A base id at or above the stride would collide replica key
+    spaces (round-10 review) — generate() must refuse."""
+    con = duckdb.connect()
+    src = tmp_path / "bigid"
+    src.mkdir()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * FROM (VALUES
+            (1, 'alpha beta gamma delta epsilon', 'en', 'src0', 30),
+            ({gen_sfscale.ID_STRIDE + 7},
+             'zeta eta theta iota kappa', 'en', 'src0', 25)
+          ) AS t(doc_id, text, lang, source, n_chars)
+        ) TO '{src / "documents.parquet"}' (FORMAT PARQUET)
+        """
+    )
+    with pytest.raises(ValueError, match="key spaces would collide"):
+        gen_sfscale.generate(str(src), tmp_path / "out", replicas=2)

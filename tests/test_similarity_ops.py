@@ -314,3 +314,52 @@ def test_star_cc_rejects_bad_cadence(spark):
     for bad in (0, -2):
         with pytest.raises(ValueError, match="check_cadence"):
             connected_components_star(pairs, check_cadence=bad)
+
+
+def test_lsh_bucket_oracle_matches_on_degenerate_corpus(spark, tmp_path):
+    """Round-10 review (ADVICE r9, medium): the DuckDB oracle's
+    hyperplane signature must mirror the Spark side's degenerate-vector
+    semantics — per-term COALESCE (short / null-element vectors keep
+    their PARTIAL plane dots) and a NULL/empty-vector row drop — not
+    just agree on clean fixed-width corpora. Cross-engine on a corpus
+    exercising every degenerate class."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    emb = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4, 5, 6],
+            "embedding": [
+                [1.0] * 64,                 # clean full-width
+                None,                        # NULL vector -> dropped
+                [],                          # empty vector -> dropped
+                [0.5] * 16,                  # short -> partial dot
+                [None, 1.0] + [0.25] * 62,   # null element -> term skipped
+                [-1.0] * 64,                 # clean, opposite signs
+            ],
+            "label": [0, 0, 0, 1, 1, 1],
+        }
+    )
+    sf_dir = str(tmp_path)
+    emb.to_parquet(f"{sf_dir}/embeddings.parquet")
+
+    got = (
+        entry.q_lsh_bucket_counts(spark, sf_dir)
+        .toPandas()
+        .sort_values("bucket", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    want = (
+        con.execute(entry.oracle_sql()["lsh_bucket_counts"])
+        .fetchdf()
+        .sort_values("bucket", ignore_index=True)
+    )
+    assert list(got.bucket) == list(want.bucket)
+    assert list(got.n) == list(want.n)
+    # the two degenerate rows dropped on BOTH engines
+    assert got.n.sum() == 4
