@@ -104,6 +104,25 @@ def cosine(a: Column, b: Column) -> Column:
 
 LITERAL_MODEL_MAX_CELLS = 32_768
 
+# Separate, MEASURED budget for the centroid-argmax family
+# (nearest_label_col / probe_labels_col consumers: kmeans_lloyd,
+# ann_ivf_probe/multiprobe, semdedup's assignment): the literal
+# struct-array argmax is k x dim multiply-adds per ROW plus a
+# k x dim-term expression to parse/codegen per ASSIGNMENT, and the
+# paired sweep (ab_kmeans.py, sf0.1, 2 Lloyd rounds, fresh JVM per
+# mode, per-k min of 2x2 rounds) put the literal-vs-broadcast-join
+# crossover between k=32 and k=64 at dim 64: literal 1.33/1.55/2.19 s
+# vs join 1.72/1.91/2.32 s at k=10/16/32, but 3.65/5.02 s vs
+# 3.26/4.29 s at k=64/100 — the giant expression falls out of
+# efficient codegen well before the old 32k-cell cap (VERDICT r9 #3:
+# the sf~1 kmeans ran 38.7 s through a 6,400-cell literal plan the
+# join shape beats). 2,048 keeps every measured-literal-winning size
+# and routes k>=64 x 64-dim models to the join path. PQ codebooks
+# keep LITERAL_MODEL_MAX_CELLS: their literal form is a per-subspace
+# LOOKUP array (256 small entries, no argmax over wide dots), a
+# different cost shape that has never measured join-worthy.
+LITERAL_CENTROID_MAX_CELLS = 2_048
+
 
 def _lit_d(v: float) -> str:
     """Exact double literal: repr() is the shortest round-trip string,
@@ -529,7 +548,10 @@ def ann_ivf_probe(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
-    cents = collect_model_rows(centroids, label_col, "centroid")
+    cents = collect_model_rows(
+        centroids, label_col, "centroid",
+        max_cells=LITERAL_CENTROID_MAX_CELLS,
+    )
     if cents is not None:
         # literal probe selection (round 6): top-nprobe centroids per
         # query as a per-row projection — no centroid broadcast join,
@@ -768,7 +790,10 @@ def ann_recall_report(
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
     )
-    cents = collect_model_rows(centroids, label_col, "centroid")
+    cents = collect_model_rows(
+        centroids, label_col, "centroid",
+        max_cells=LITERAL_CENTROID_MAX_CELLS,
+    )
     if cents is not None:
         # literal probe selection — no centroid join, no top-k window
         qp = q.withColumn(
@@ -1001,7 +1026,10 @@ def semdedup_prune(
     candidate generator. Clusters at or under ``small_cap`` plan exactly
     like the plain equi-join (G = 1, zero replication).
     """
-    cents = collect_model_rows(ivf_centroids(df, label_col, vec_col))
+    cents = collect_model_rows(
+        ivf_centroids(df, label_col, vec_col),
+        max_cells=LITERAL_CENTROID_MAX_CELLS,
+    )
     if cents is not None:
         # literal assignment (round 6): nearest-centroid is a per-row
         # projection — no broadcast join, no per-vector top-k window
@@ -1484,7 +1512,10 @@ def kmeans_lloyd(
     per round (the k-row update collect), no broadcast-join/window/
     checkpoint machinery; the corpus never shuffles. Falls back to the
     join+checkpoint shape when k x dim exceeds the literal budget."""
-    cents = collect_model_rows(init_centroids, "label", "centroid")
+    cents = collect_model_rows(
+        init_centroids, "label", "centroid",
+        max_cells=LITERAL_CENTROID_MAX_CELLS,
+    )
     if cents is None:
         centroids = init_centroids
         for _ in range(iters):
@@ -1509,6 +1540,7 @@ def kmeans_lloyd(
             kmeans_quantized_update(assigned.select("cluster", "_vec"), dim),
             "label",
             "centroid",
+            max_cells=LITERAL_CENTROID_MAX_CELLS,
         )
     return base.withColumn(
         "cluster", nearest_label_col("_vec", "_nrm", cents)

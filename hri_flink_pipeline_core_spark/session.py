@@ -3,9 +3,11 @@
 Local test mode runs one JVM with N threads; the configs below are chosen
 so the same code scales to a multi-executor cluster:
 
-- ``spark.sql.shuffle.partitions`` sized to cores locally; at cluster
-  scale AQE coalesces / splits post-shuffle partitions at runtime, so the
-  static number only seeds the initial plan.
+- ``spark.sql.shuffle.partitions`` sized to the DATA SCALE the session
+  processes (like the AQE advisory below): local test/bench shuffles are
+  kilobytes-to-tens-of-MB, where 8 buckets measured uniformly faster
+  than 32 (round 10 — see get_spark); production keeps a cores-sized
+  default and AQE coalesces post-shuffle partitions at runtime.
 - AQE on: runtime re-planning (skew-join splitting, broadcast demotion/
   promotion, partition coalescing) is the 100-TB safety net.
 - Arrow on: every pandas UDF / applyInPandas crossing is Arrow-batched.
@@ -52,10 +54,28 @@ def get_spark(
         )
     advisory_default = "2m" if mode == "local" else "64m"
     n = cpus or DEFAULT_CPUS
+    # Shuffle bucket count is data-scale-sized, like the advisory
+    # (round 10): at local bench scale every exchange is kilobytes to
+    # tens of MB, and the per-bucket cost of the shuffle WRITE path
+    # (one buffer + file segment per reduce bucket per map task)
+    # dominates — 8 buckets beat 32 on a 24-query mixed subset in
+    # same-epoch sweeps (35.6 -> 31.5 s, dedup/LSH family -20-35%,
+    # worst regression <0.1 s; raising the AQE advisory instead, with
+    # 32 buckets kept, recovered almost none of it, so the win is the
+    # write path, not reduce-task count). Production keeps a
+    # cores-sized initial count: at multi-GB shuffle scale, 8 would cap
+    # reduce parallelism (AQE coalesce only MERGES partitions) — the
+    # same scale-dependence as the advisory, derived in BASELINE.md.
+    # $SPARK_GRAFT_SHUFFLE_PARTITIONS overrides directly (the sf~1
+    # sweeps re-measure under it).
+    shuffle_default = "8" if mode == "local" else str(n)
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n))
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", shuffle_default),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # Respect the advisory size when coalescing instead of

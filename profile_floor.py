@@ -21,6 +21,20 @@ VARIANTS = {
     "lowshuffle": {
         "spark.sql.shuffle.partitions": "8",
     },
+    "p16": {
+        "spark.sql.shuffle.partitions": "16",
+    },
+    "p4": {
+        "spark.sql.shuffle.partitions": "4",
+    },
+    "p16a32": {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32m",
+        "spark.sql.shuffle.partitions": "16",
+    },
+    "p8a8": {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        "spark.sql.shuffle.partitions": "8",
+    },
     "both": {
         "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32m",
