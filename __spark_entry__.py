@@ -832,7 +832,28 @@ def q_kmv_set_ops(spark, sf_dir):
     (lang, bucket)'s k smallest via a partial agg (per-task buffer
     bounded by vocab/64); level 2 merges 64 k-slices per language and
     re-slices — a constant-size agg. No WindowExec anywhere in the
-    plan (asserted in test_plan_shapes)."""
+    plan (asserted in test_plan_shapes).
+
+    Round 10 (VERDICT r9 #4): the default shape LITERALIZES the
+    sketches — they are k-bounded per language BY CONSTRUCTION (the
+    entire point of a sketch), so after the two-level min-k they are
+    collected and the per-pair union/intersect algebra runs driver-side
+    in Python (IEEE doubles, arithmetic order identical to the former
+    Column expressions — hash-verified). That deletes the two broadcast
+    pair joins, the est projection chain and the final join from the
+    plan: ~16 AQE stage-jobs -> ~9 (same pattern as the literal ANN
+    models). $SPARK_GRAFT_KMV_SHAPE=agg keeps the all-DataFrame shape
+    for the paired A/B (ab_kmv.py)."""
+    import os as _os
+
+    if _os.environ.get("SPARK_GRAFT_KMV_SHAPE", "literal") == "agg":
+        return _kmv_set_ops_agg(spark, sf_dir)
+    return _kmv_set_ops_literal(spark, sf_dir)
+
+
+def _kmv_vocab_and_sketch(spark, sf_dir):
+    """Shared build: checkpointed gram -> language-set vocabulary table
+    plus the per-language two-level min-k sketch table (k rows/lang)."""
     docs = _tp(spark, sf_dir, "documents")
     # ONE data-sized shuffle for the whole query (round 6): the corpus
     # explode feeds groupBy(gram) -> language-set directly, and the
@@ -864,6 +885,84 @@ def q_kmv_set_ops(spark, sf_dir):
             F.array_sort(F.flatten(F.collect_list("hs"))), 1, _KMV_K
         ).alias("hs")
     )
+    return gm, sk
+
+
+def _kmv_exact_sums(gm):
+    """The exact union/intersect ground truth as ONE scalar aggregation
+    over the vocabulary table: per pair, two conditional sums over the
+    per-gram language array — all three pairs in a single 6-sum pass
+    (map-side partial agg, one row out)."""
+
+    def _inx(lang):
+        return F.array_contains("ls", F.lit(lang))
+
+    sums = []
+    for la, lb in _KMV_PAIRS:
+        tag = f"{la}_{lb}"
+        sums.append(
+            F.sum(F.when(_inx(la) | _inx(lb), 1).otherwise(0)).alias(f"_u_{tag}")
+        )
+        sums.append(
+            F.sum(F.when(_inx(la) & _inx(lb), 1).otherwise(0)).alias(f"_i_{tag}")
+        )
+    return gm.agg(*sums)
+
+
+_KMV_OUT_SCHEMA = (
+    "lang_a string, lang_b string, est_union double, est_intersect double,"
+    " exact_union bigint, exact_intersect bigint"
+)
+
+
+def _kmv_set_ops_literal(spark, sf_dir):
+    """Literal-sketch shape (round 10, default): collect the k-bounded
+    per-language sketches, run the pair algebra in Python with the SAME
+    IEEE-double arithmetic order as the Column form (m < k -> m;
+    otherwise (k-1)*2^60 / kth; intersect = (n_common/m) * est_union),
+    fetch the exact sums with one scalar agg, and return the 3-row
+    result as literals. Two bounded collects replace the pair-join
+    chain; the corpus-scale work (vocabulary agg) is unchanged."""
+    gm, sk = _kmv_vocab_and_sketch(spark, sf_dir)
+    sketches = {r["lang"]: list(r["hs"]) for r in sk.collect()}
+    keep = [
+        (la, lb)
+        for la, lb in _KMV_PAIRS
+        if la in sketches or lb in sketches
+    ]
+    if not keep:
+        return spark.createDataFrame([], _KMV_OUT_SCHEMA)
+    exact = _kmv_exact_sums(gm).collect()[0]
+    rows = []
+    for la, lb in keep:
+        hs_a = sketches.get(la, [])
+        hs_b = sketches.get(lb, [])
+        top = sorted(set(hs_a) | set(hs_b))[:_KMV_K]
+        m = len(top)
+        if m < _KMV_K:
+            est_union = float(m)
+        else:
+            est_union = float(_KMV_K - 1) * 2.0**60 / float(top[-1])
+        n_common = len(set(top) & set(hs_a) & set(hs_b))
+        est_intersect = (float(n_common) / float(m)) * est_union
+        rows.append(
+            (
+                la,
+                lb,
+                est_union,
+                est_intersect,
+                int(exact[f"_u_{la}_{lb}"]),
+                int(exact[f"_i_{la}_{lb}"]),
+            )
+        )
+    return spark.createDataFrame(rows, _KMV_OUT_SCHEMA)
+
+
+def _kmv_set_ops_agg(spark, sf_dir):
+    """All-DataFrame shape (rounds 6-9) — kept as the A/B counterpart
+    and for callers that must not collect (e.g. the result feeds a
+    larger plan)."""
+    gm, sk = _kmv_vocab_and_sketch(spark, sf_dir)
     # Pair merge as ARRAY ALGEBRA on the (one-row-per-language) sketch
     # table: joining the 3-row pair list against the sketch arrays
     # twice (both broadcast) and computing the union min-k with
@@ -914,25 +1013,11 @@ def q_kmv_set_ops(spark, sf_dir):
         F.lit(float(_KMV_K - 1) * 2.0**60) / F.col("kth").cast("double")
     )
     # exact ground truth straight off the checkpointed gram -> language
-    # table, as ONE scalar aggregation: per pair, union/intersect counts
-    # are two conditional sums over the per-gram language array, so all
-    # three pairs fit in a single 6-sum pass (map-side partial agg, one
-    # row out) reshaped to (lang_a, lang_b) rows — the former broadcast
-    # crossJoin fanned the vocabulary out 3x and paid a keyed shuffle
-    # for what a scalar agg does in-place.
-    def _inx(lang):
-        return F.array_contains("ls", F.lit(lang))
-
-    sums = []
-    for la, lb in _KMV_PAIRS:
-        tag = f"{la}_{lb}"
-        sums.append(
-            F.sum(F.when(_inx(la) | _inx(lb), 1).otherwise(0)).alias(f"_u_{tag}")
-        )
-        sums.append(
-            F.sum(F.when(_inx(la) & _inx(lb), 1).otherwise(0)).alias(f"_i_{tag}")
-        )
-    scalar = gm.agg(*sums)
+    # table (_kmv_exact_sums: one 6-sum scalar pass) reshaped to
+    # (lang_a, lang_b) rows — the former broadcast crossJoin fanned the
+    # vocabulary out 3x and paid a keyed shuffle for what a scalar agg
+    # does in-place.
+    scalar = _kmv_exact_sums(gm)
     exact = scalar.select(
         F.explode(
             F.array(
@@ -3338,80 +3423,17 @@ def q_cooccurrence_lift(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER is deliberate: the driver's correctness harness has a
     # per-round budget (50 keys/round observed since round 1) and walks
-    # this dict in order. Round-9 ordering, per VERDICT.md round 8
-    # "Next round" #1: (0) the 42 keys whose latest driver row is r5 —
-    # the stalest slice after the r8 rotation; (1) the 8 keys touched
-    # in round 9. Tiers 0-1 fill the 50-key window exactly; after r9
-    # every key's driver row is r7+. (2)-(3) the rest, oldest driver
-    # round first.
+    # this dict in order. Round-10 ordering, per VERDICT.md round 9
+    # "Next round" #2: (0) the 40 keys whose latest driver row is r7 —
+    # the stalest slice after the r9 rotation; (1) the 2 keys whose
+    # ORACLE changed in round 10 (degenerate-vector semantics mirrored
+    # into the DuckDB hyperplane signature); (2) 8 keys from the
+    # r8-latest tier (oldest remaining; bpe_merges skipped — no_oracle
+    # by design, a window slot spent on it verifies nothing). Tiers 0-2
+    # fill the 50-key window exactly; after r10 the freshness floor is
+    # r8. (3)-(4) the rest, oldest driver round first.
     return {
-        # -- (0) the 42 keys whose latest driver row is r5 (VERDICT r8
-        #    "Next round" #1): the stalest slice after the r8 rotation —
-        #    pytest-green on current code every round since, but the
-        #    driver's own oracle is the hard signal and three rounds of
-        #    rewrites have landed since r5. They go FIRST,
-        #    unconditionally --
-        "ann_sq_recall": q_ann_sq_recall,
-        "ann_sq_topk": q_ann_sq_topk,
-        "approx_percentile_binned": q_approx_percentile_binned,
-        "asof_latest_order": q_asof_latest_order,
-        "bigram_topk": q_bigram_topk,
-        "contamination_flag": q_contamination_flag,
-        "cooccurrence_lift": q_cooccurrence_lift,
-        "countmin_heavy": q_countmin_heavy,
-        "curation_pipeline": q_curation_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_text": q_dedup_exact_text,
-        "doc_chunks": q_doc_chunks,
-        "doc_fingerprint": q_doc_fingerprint,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "gopher_rules": q_gopher_rules,
-        "interval_join_anchor_windows": q_interval_join_anchor_windows,
-        "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
-        "lang_id": q_lang_id,
-        "latest_per_key": q_latest_per_key,
-        "merge_upsert": q_merge_upsert,
-        "pareto_frontier": q_pareto_frontier,
-        "percentile_filter": q_percentile_filter,
-        "pii_redact": q_pii_redact,
-        "pmi_bigrams": q_pmi_bigrams,
-        "posting_lists": q_posting_lists,
-        "repetition_score": q_repetition_score,
-        "resample_ffill": q_resample_ffill,
-        "rolling_zscore": q_rolling_zscore,
-        "route_counts": q_route_counts,
-        "salted_join_skewed": q_salted_join_skewed,
-        "skew_profile": q_skew_profile,
-        "snapshot_diff": q_snapshot_diff,
-        "term_topk": q_term_topk,
-        "threshold_trigger": q_threshold_trigger,
-        "topk_per_key": q_topk_per_key,
-        "topp_select": q_topp_select,
-        "tracker_terminal": q_tracker_terminal,
-        "triangle_count": q_triangle_count,
-        "validation_invalid": q_validation_invalid,
-        "vocab_coverage": q_vocab_coverage,
-        "weighted_sample": q_weighted_sample,
-        "zorder_index": q_zorder_index,
-        # -- (1) the 8 round-9-touched keys, filling the 50-key
-        #    window exactly, materially-changed first: the two
-        #    hyperplane-LSH keys whose PLAN changed (in-row codegen
-        #    bucket projection replaces the explode->agg->join
-        #    signature build), then kmv_distinct (bucket count
-        #    parameterized), simhash_pairs (chunk geometry from shared
-        #    constants), the remaining bucket_pairs identifier-quoting
-        #    consumers, and the two round-9 perf/regression subjects
-        #    (prefix_filter_pairs, triangle_count_oriented). After r9
-        #    every key's driver row is r7+ --
-        "cosine_neardup_lsh": q_cosine_neardup_lsh,
-        "lsh_bucket_counts": q_lsh_bucket_counts,
-        "kmv_distinct": q_kmv_distinct,
-        "simhash_pairs": q_simhash_pairs,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "prefix_filter_pairs": q_prefix_filter_pairs,
-        "triangle_count_oriented": q_triangle_count_oriented,
-        # -- (2) the remaining r7-latest keys, alphabetical --
+        # -- (0) the 40 keys whose latest driver row is r7 (VERDICT r9 #2): they go FIRST, unconditionally --
         "analytic_window": q_analytic_window,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_ivf_probe": q_ann_ivf_probe,
@@ -3452,16 +3474,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "window_sliding": q_window_sliding,
         "window_tumbling": q_window_tumbling,
-        # -- (3) the remaining r8-latest keys (freshest), alphabetical --
+        # -- (1) the 2 keys whose DuckDB oracle changed in round 10: per-term COALESCE + NULL/empty-vector filter mirrored from the Spark side --
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
+        # -- (2) 8 oldest r8-latest keys, filling the 50-key window exactly --
         "ann_topk": q_ann_topk,
         "bm25_topk": q_bm25_topk,
-        "bpe_merges": q_bpe_merges,
         "dataset_split": q_dataset_split,
         "date_funcs": q_date_funcs,
         "dedup_keep_best": q_dedup_keep_best,
         "doc_rarity": q_doc_rarity,
         "domain_mix": q_domain_mix,
         "event_funnel": q_event_funnel,
+        # -- (3) the remaining r8-latest keys, alphabetical --
+        "bpe_merges": q_bpe_merges,
         "event_transitions": q_event_transitions,
         "frame_sample": q_frame_sample,
         "hash_sample": q_hash_sample,
@@ -3501,6 +3527,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "winsorized_stats": q_winsorized_stats,
         "zorder_manifest": q_zorder_manifest,
+        # -- (4) the r9-checked keys (freshest), alphabetical --
+        "ann_sq_recall": q_ann_sq_recall,
+        "ann_sq_topk": q_ann_sq_topk,
+        "approx_percentile_binned": q_approx_percentile_binned,
+        "asof_latest_order": q_asof_latest_order,
+        "bigram_topk": q_bigram_topk,
+        "contamination_flag": q_contamination_flag,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "countmin_heavy": q_countmin_heavy,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_text": q_dedup_exact_text,
+        "doc_chunks": q_doc_chunks,
+        "doc_fingerprint": q_doc_fingerprint,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "gopher_rules": q_gopher_rules,
+        "interval_join_anchor_windows": q_interval_join_anchor_windows,
+        "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
+        "kmv_distinct": q_kmv_distinct,
+        "lang_id": q_lang_id,
+        "latest_per_key": q_latest_per_key,
+        "merge_upsert": q_merge_upsert,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "pareto_frontier": q_pareto_frontier,
+        "percentile_filter": q_percentile_filter,
+        "pii_redact": q_pii_redact,
+        "pmi_bigrams": q_pmi_bigrams,
+        "posting_lists": q_posting_lists,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
+        "repetition_score": q_repetition_score,
+        "resample_ffill": q_resample_ffill,
+        "rolling_zscore": q_rolling_zscore,
+        "route_counts": q_route_counts,
+        "salted_join_skewed": q_salted_join_skewed,
+        "simhash_pairs": q_simhash_pairs,
+        "skew_profile": q_skew_profile,
+        "snapshot_diff": q_snapshot_diff,
+        "term_topk": q_term_topk,
+        "threshold_trigger": q_threshold_trigger,
+        "topk_per_key": q_topk_per_key,
+        "topp_select": q_topp_select,
+        "tracker_terminal": q_tracker_terminal,
+        "triangle_count": q_triangle_count,
+        "triangle_count_oriented": q_triangle_count_oriented,
+        "validation_invalid": q_validation_invalid,
+        "vocab_coverage": q_vocab_coverage,
+        "weighted_sample": q_weighted_sample,
+        "zorder_index": q_zorder_index,
     }
 
 
