@@ -924,7 +924,15 @@ def _kmv_set_ops_literal(spark, sf_dir):
     result as literals. Two bounded collects replace the pair-join
     chain; the corpus-scale work (vocabulary agg) is unchanged."""
     gm, sk = _kmv_vocab_and_sketch(spark, sf_dir)
-    sketches = {r["lang"]: list(r["hs"]) for r in sk.collect()}
+    # only the declared pair languages reach the driver — the collect
+    # is bounded by len(pair langs) x k regardless of how many distinct
+    # languages the corpus carries (the agg shape's 3-row pair join
+    # imposed the same bound)
+    langs = sorted({l for pair in _KMV_PAIRS for l in pair})
+    sketches = {
+        r["lang"]: list(r["hs"])
+        for r in sk.filter(F.col("lang").isin(langs)).collect()
+    }
     keep = [
         (la, lb)
         for la, lb in _KMV_PAIRS

@@ -444,20 +444,32 @@ def test_skew_profile_single_count_shuffle(spark, sf001):
 
 
 def test_kmv_set_ops_sketch_joins_are_small(spark, sf001):
-    """Sketch algebra: gram counts partial-aggregate; no cartesian
-    products anywhere (pair tables join sketch-sized sides)."""
-    plan = plan_of(entry.q_kmv_set_ops(spark, sf001), mode="simple")
-    assert plan.count("HashAggregate") >= 2
-    assert "CartesianProduct" not in plan
-    # the multi-consumer gram table is a checkpointed flat leaf
-    # (round 5); the corpus explode never appears in this plan
-    assert "Scan ExistingRDD" in plan
-    assert "Scan parquet" not in plan
-    # round 6 (VERDICT r5 #4): the per-language min-k is a two-level
-    # bucketed partial agg and the pair-union min-k a bounded agg — the
-    # former per-language vocabulary window sort (the last
-    # per-key-data-sized WindowExec in the engine) is gone entirely.
-    assert "Window" not in plan
+    """Sketch algebra plan shapes, BOTH round-10 shapes:
+
+    - the default literal shape returns a 3-row LITERAL result (the
+      pair algebra ran driver-side on collected k-bounded sketches) —
+      its final plan must be a local/flat leaf with no join, exchange
+      or aggregate left;
+    - the sketch BUILD it collects from, and the all-DataFrame shape
+      behind $SPARK_GRAFT_KMV_SHAPE=agg, keep the rounds-5-9
+      guarantees: partial aggs, no cartesian products, checkpointed
+      gram leaf (no parquet rescan), and no per-key-data-sized
+      WindowExec anywhere (VERDICT r5 #4)."""
+    lit_plan = plan_of(entry.q_kmv_set_ops(spark, sf001), mode="simple")
+    for op in ("Join", "Exchange", "HashAggregate", "Window"):
+        assert op not in lit_plan
+    gm, sk = entry._kmv_vocab_and_sketch(spark, sf001)
+    sketch_plan = plan_of(sk, mode="simple")
+    assert sketch_plan.count("HashAggregate") >= 2
+    assert "Window" not in sketch_plan
+    assert "Scan ExistingRDD" in sketch_plan
+    assert "Scan parquet" not in sketch_plan
+    agg_plan = plan_of(entry._kmv_set_ops_agg(spark, sf001), mode="simple")
+    assert agg_plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in agg_plan
+    assert "Scan ExistingRDD" in agg_plan
+    assert "Scan parquet" not in agg_plan
+    assert "Window" not in agg_plan
 
 
 def test_kmv_distinct_no_window(spark, sf001):
