@@ -363,3 +363,32 @@ def test_lsh_bucket_oracle_matches_on_degenerate_corpus(spark, tmp_path):
     assert list(got.n) == list(want.n)
     # the two degenerate rows dropped on BOTH engines
     assert got.n.sum() == 4
+
+
+def test_kmeans_join_fallback_matches_literal(spark, monkeypatch):
+    """The round-10 measured budget (LITERAL_CENTROID_MAX_CELLS) routes
+    big models to the broadcast-join Lloyd path — which must produce
+    IDENTICAL final assignments to the literal path (same exact-fold
+    math, same tie-breaks), since sf~1 corpora cross the budget while
+    the sf0.01 driver oracle runs the literal plan."""
+    from hri_flink_pipeline_core_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)], i % 4)
+         for i in range(200)],
+        "vec_id int, embedding array<double>, label int",
+    )
+    cent0 = S._centroid_means(
+        emb.select("label", "embedding"), ["label"], "embedding",
+        S.quantized_mean_sql(),
+    )
+    lit = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in S.kmeans_lloyd(emb, cent0, iters=2).collect()
+    )
+    monkeypatch.setattr(S, "LITERAL_CENTROID_MAX_CELLS", 0)
+    join = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in S.kmeans_lloyd(emb, cent0, iters=2).collect()
+    )
+    assert lit == join
