@@ -3101,20 +3101,14 @@ def q_ann_sq_recall(spark, sf_dir):
     0.30, PQ 4-byte: 0.16; SQ keeps 50x more information than PQ so
     recall should be near-exact — the measurement proves the int8
     compression is almost free, which is WHY production vector stores
-    default to SQ before reaching for PQ)."""
-    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    sq = q_ann_sq_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = bf.join(sq, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
-    return truth.join(hits, "query_id", "left").select(
-        "query_id",
-        "n_true",
-        F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
-        (F.coalesce(F.col("n_hit"), F.lit(0)) / F.col("n_true")).alias(
-            "recall"
-        ),
+    default to SQ before reaching for PQ). Fused single-pass form since
+    round 10 (similarity.ann_sq_recall_report): both top-k sets derive
+    from ONE scored cross join — the two-leg version paid the Q x N
+    pass twice plus a set join (the same fusion ann_recall got in
+    round 6)."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    return S.ann_sq_recall_report(
+        emb.filter(F.col("vec_id") < 20), emb, k=5
     )
 
 
@@ -3485,7 +3479,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) the 2 keys whose DuckDB oracle changed in round 10: per-term COALESCE + NULL/empty-vector filter mirrored from the Spark side --
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "lsh_bucket_counts": q_lsh_bucket_counts,
-        # -- (2) 8 oldest r8-latest keys, filling the 50-key window exactly --
+        # -- (2) the round-10 plan change: fused SQ recall --
+        "ann_sq_recall": q_ann_sq_recall,
+        # -- (3) 7 oldest r8-latest keys, filling the 50-key window exactly --
         "ann_topk": q_ann_topk,
         "bm25_topk": q_bm25_topk,
         "dataset_split": q_dataset_split,
@@ -3493,8 +3489,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "doc_rarity": q_doc_rarity,
         "domain_mix": q_domain_mix,
+        # -- (4) the remaining r8-latest keys, alphabetical --
         "event_funnel": q_event_funnel,
-        # -- (3) the remaining r8-latest keys, alphabetical --
         "bpe_merges": q_bpe_merges,
         "event_transitions": q_event_transitions,
         "frame_sample": q_frame_sample,
@@ -3535,8 +3531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "winsorized_stats": q_winsorized_stats,
         "zorder_manifest": q_zorder_manifest,
-        # -- (4) the r9-checked keys (freshest), alphabetical --
-        "ann_sq_recall": q_ann_sq_recall,
+        # -- (5) the r9-checked keys (freshest), alphabetical --
         "ann_sq_topk": q_ann_sq_topk,
         "approx_percentile_binned": q_approx_percentile_binned,
         "asof_latest_order": q_asof_latest_order,

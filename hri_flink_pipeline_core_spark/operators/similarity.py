@@ -875,6 +875,87 @@ def ann_recall_report(
     )
 
 
+def ann_sq_recall_report(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query recall of int8-SQ top-k against exact float top-k in
+    ONE corpus pass (round 10 — the same fusion ann_recall_report got
+    in round 6: the two-leg form ran the Q x N broadcast cross join
+    TWICE, once per scoring, then joined the top-k sets).
+
+    Every pair needs both scores anyway (the exact cosine for the
+    truth leg, the quantized integer dot for the SQ leg), so both
+    top-k sets are two ``row_number`` ranks over the SAME per-query
+    partition of the SAME pair table: the exact rank orders by
+    struct(cosine, neighbor_id) desc (identical to top_k_per_key in
+    ann_topk_bruteforce) and the SQ rank by struct(score_int,
+    neighbor_id) desc (identical to ann_topk_sq). n_hit counts rows in
+    BOTH top-k sets, so the values equal the two-leg join by
+    construction (pinned in test_similarity_ops). One scan, one
+    broadcast cross join, one exchange, one aggregate. Like
+    ann_recall_report, the query side is a bounded SAMPLE by contract
+    — the Q x N pair table shuffles once into per-query partitions."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_norm"),
+        sq_quantize(F.col(vec_col)).alias("q_q"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_norm"),
+        sq_quantize(F.col(vec_col)).alias("c_q"),
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm"))
+        ).alias("cosine"),
+        F.aggregate(
+            F.zip_with(F.col("q_q"), F.col("c_q"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("score_int"),
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.struct(F.col("cosine"), F.col("neighbor_id")).desc()
+    )
+    w_sq = Window.partitionBy("query_id").orderBy(
+        F.struct(F.col("score_int"), F.col("neighbor_id")).desc()
+    )
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(w_ex).alias("_rn_ex"),
+        F.row_number().over(w_sq).alias("_rn_sq"),
+    )
+    agg = ranked.groupBy("query_id").agg(
+        F.sum(F.when(F.col("_rn_ex") <= k, 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when((F.col("_rn_ex") <= k) & (F.col("_rn_sq") <= k), 1)
+            .otherwise(0)
+        ).alias("n_hit"),
+    )
+    return agg.select(
+        "query_id",
+        "n_true",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_true")).alias("recall"),
+    )
+
+
 #: exact double literals for SQL strings (scientific literals can parse
 #: as DECIMAL depending on legacy confs; CAST is unambiguous)
 _D1E10 = "cast(10000000000 as double)"

@@ -392,3 +392,49 @@ def test_kmeans_join_fallback_matches_literal(spark, monkeypatch):
         for r in S.kmeans_lloyd(emb, cent0, iters=2).collect()
     )
     assert lit == join
+
+
+def test_ann_sq_recall_fused_matches_two_leg(spark):
+    """Round-10 fusion parity: the single-pass SQ recall report must
+    equal the two-leg form (bruteforce top-k ∩ SQ top-k joined) value
+    for value, including a query whose SQ top-k misses some exact
+    neighbors."""
+    import pandas as pd
+
+    from hri_flink_pipeline_core_spark.operators.similarity import (
+        ann_sq_recall_report,
+        ann_topk_bruteforce,
+        ann_topk_sq,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 13 + j * 5) % 17) - 8) / 8.0 for j in range(8)])
+         for i in range(60)],
+        "vec_id int, embedding array<double>",
+    )
+    q = emb.filter(F.col("vec_id") < 5)
+    fused = (
+        ann_sq_recall_report(q, emb, k=3)
+        .toPandas()
+        .sort_values("query_id", ignore_index=True)
+    )
+    bf = ann_topk_bruteforce(q, emb, k=3).select("query_id", "neighbor_id")
+    sq = ann_topk_sq(q, emb, k=3).select("query_id", "neighbor_id")
+    hits = bf.join(sq, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    truth = bf.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    twoleg = (
+        truth.join(hits, "query_id", "left")
+        .select(
+            "query_id", "n_true",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / F.col("n_true")).alias("recall"),
+        )
+        .toPandas()
+        .sort_values("query_id", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        fused, twoleg[fused.columns], check_dtype=False
+    )
