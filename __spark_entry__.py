@@ -3425,73 +3425,25 @@ def q_cooccurrence_lift(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER is deliberate: the driver's correctness harness has a
     # per-round budget (50 keys/round observed since round 1) and walks
-    # this dict in order. Round-10 ordering, per VERDICT.md round 9
-    # "Next round" #2: (0) the 40 keys whose latest driver row is r7 —
-    # the stalest slice after the r9 rotation; (1) the 2 keys whose
-    # ORACLE changed in round 10 (degenerate-vector semantics mirrored
-    # into the DuckDB hyperplane signature); (2) 8 keys from the
-    # r8-latest tier (oldest remaining; bpe_merges skipped — no_oracle
-    # by design, a window slot spent on it verifies nothing). Tiers 0-2
-    # fill the 50-key window exactly; after r10 the freshness floor is
-    # r8. (3)-(4) the rest, oldest driver round first.
+    # this dict in order. Round-11 ordering, per VERDICT.md round 10
+    # "Next round" #2: (0) the 41 keys whose latest driver row is r8 —
+    # the stalest slice after the r10 rotation (bpe_merges included this
+    # time: the verdict named it explicitly; the driver records its
+    # rows-only no_oracle check, which still refreshes the row);
+    # (1) the 2 r10-fresh keys with round-11 plan work (pagerank
+    # exchange reduction, duplicate_spans sf~1 investigation) so any
+    # shipped change is re-verified in-window; (2) 7 r9-tier keys with
+    # the highest information value: the three unpaired r9->r10 one-shot
+    # regression suspects (edit_distance_pairs, dedup_clusters_star,
+    # kmv_distinct) and the 2-2.6x mid-tier sweep targets
+    # (cooccurrence_lift, contamination_flag, doc_fingerprint,
+    # dedup_exact_text). Tiers 0-2 fill the 50-key window exactly;
+    # after r11 the freshness floor is r9. (3)-(4) the rest, oldest
+    # driver round first, alphabetical within tier.
     return {
-        # -- (0) the 40 keys whose latest driver row is r7 (VERDICT r9 #2): they go FIRST, unconditionally --
-        "analytic_window": q_analytic_window,
-        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
-        "ann_ivf_probe": q_ann_ivf_probe,
-        "ann_pq_adc": q_ann_pq_adc,
-        "ann_pq_recall": q_ann_pq_recall,
-        "ann_pq_rerank": q_ann_pq_rerank,
-        "ann_recall": q_ann_recall,
-        "ann_recall_multiprobe": q_ann_recall_multiprobe,
-        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
-        "bloom_prune": q_bloom_prune,
-        "bucketed_join_colocated": q_bucketed_join_colocated,
-        "centroid_distances": q_centroid_distances,
-        "containment_pairs": q_containment_pairs,
-        "cosine_neardup": q_cosine_neardup,
-        "count_by_key": q_count_by_key,
-        "cube_agg": q_cube_agg,
-        "dedup_clusters": q_dedup_clusters,
-        "duplicate_spans": q_duplicate_spans,
-        "filter_orders": q_filter_orders,
-        "grouping_sets_agg": q_grouping_sets_agg,
-        "ivf_centroids": q_ivf_centroids,
-        "join_broadcast_part": q_join_broadcast_part,
-        "kmeans_refine": q_kmeans_refine,
-        "kmv_set_ops": q_kmv_set_ops,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "pagerank_domains": q_pagerank_domains,
-        "pq_code_histogram": q_pq_code_histogram,
-        "pricing_summary": q_pricing_summary,
-        "project_net_price": q_project_net_price,
-        "range_frame_window": q_range_frame_window,
-        "retention_cohorts": q_retention_cohorts,
-        "rollup_agg": q_rollup_agg,
-        "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
-        "sink_table_roundtrip": q_sink_table_roundtrip,
-        "span_cut_text": q_span_cut_text,
-        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
-        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
-        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
-        "window_sliding": q_window_sliding,
-        "window_tumbling": q_window_tumbling,
-        # -- (1) the 2 keys whose DuckDB oracle changed in round 10: per-term COALESCE + NULL/empty-vector filter mirrored from the Spark side --
-        "cosine_neardup_lsh": q_cosine_neardup_lsh,
-        "lsh_bucket_counts": q_lsh_bucket_counts,
-        # -- (2) the round-10 plan change: fused SQ recall --
-        "ann_sq_recall": q_ann_sq_recall,
-        # -- (3) 7 oldest r8-latest keys, filling the 50-key window exactly --
-        "ann_topk": q_ann_topk,
-        "bm25_topk": q_bm25_topk,
-        "dataset_split": q_dataset_split,
-        "date_funcs": q_date_funcs,
-        "dedup_keep_best": q_dedup_keep_best,
-        "doc_rarity": q_doc_rarity,
-        "domain_mix": q_domain_mix,
-        # -- (4) the remaining r8-latest keys, alphabetical --
-        "event_funnel": q_event_funnel,
+        # -- (0) the 41 keys whose latest driver row is r8 (VERDICT r10 #2): they go FIRST, unconditionally --
         "bpe_merges": q_bpe_merges,
+        "event_funnel": q_event_funnel,
         "event_transitions": q_event_transitions,
         "frame_sample": q_frame_sample,
         "hash_sample": q_hash_sample,
@@ -3531,25 +3483,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "winsorized_stats": q_winsorized_stats,
         "zorder_manifest": q_zorder_manifest,
-        # -- (5) the r9-checked keys (freshest), alphabetical --
+        # -- (1) r10-fresh keys with round-11 plan work --
+        "pagerank_domains": q_pagerank_domains,
+        "duplicate_spans": q_duplicate_spans,
+        # -- (2) 7 r9-tier keys: regression suspects + mid-tier sweep targets --
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "kmv_distinct": q_kmv_distinct,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "contamination_flag": q_contamination_flag,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact_text": q_dedup_exact_text,
+        # -- (3) the remaining r9-tier keys, alphabetical --
         "ann_sq_topk": q_ann_sq_topk,
         "approx_percentile_binned": q_approx_percentile_binned,
         "asof_latest_order": q_asof_latest_order,
         "bigram_topk": q_bigram_topk,
-        "contamination_flag": q_contamination_flag,
-        "cooccurrence_lift": q_cooccurrence_lift,
         "countmin_heavy": q_countmin_heavy,
         "curation_pipeline": q_curation_pipeline,
-        "dedup_clusters_star": q_dedup_clusters_star,
         "dedup_exact": q_dedup_exact,
-        "dedup_exact_text": q_dedup_exact_text,
         "doc_chunks": q_doc_chunks,
-        "doc_fingerprint": q_doc_fingerprint,
-        "edit_distance_pairs": q_edit_distance_pairs,
         "gopher_rules": q_gopher_rules,
         "interval_join_anchor_windows": q_interval_join_anchor_windows,
         "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
-        "kmv_distinct": q_kmv_distinct,
         "lang_id": q_lang_id,
         "latest_per_key": q_latest_per_key,
         "merge_upsert": q_merge_upsert,
@@ -3579,6 +3535,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "weighted_sample": q_weighted_sample,
         "zorder_index": q_zorder_index,
+        # -- (4) the r10-checked keys (freshest), alphabetical --
+        "analytic_window": q_analytic_window,
+        "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "ann_pq_adc": q_ann_pq_adc,
+        "ann_pq_recall": q_ann_pq_recall,
+        "ann_pq_rerank": q_ann_pq_rerank,
+        "ann_recall": q_ann_recall,
+        "ann_recall_multiprobe": q_ann_recall_multiprobe,
+        "ann_sq_recall": q_ann_sq_recall,
+        "ann_topk": q_ann_topk,
+        "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
+        "bloom_prune": q_bloom_prune,
+        "bm25_topk": q_bm25_topk,
+        "bucketed_join_colocated": q_bucketed_join_colocated,
+        "centroid_distances": q_centroid_distances,
+        "containment_pairs": q_containment_pairs,
+        "cosine_neardup": q_cosine_neardup,
+        "cosine_neardup_lsh": q_cosine_neardup_lsh,
+        "count_by_key": q_count_by_key,
+        "cube_agg": q_cube_agg,
+        "dataset_split": q_dataset_split,
+        "date_funcs": q_date_funcs,
+        "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
+        "doc_rarity": q_doc_rarity,
+        "domain_mix": q_domain_mix,
+        "filter_orders": q_filter_orders,
+        "grouping_sets_agg": q_grouping_sets_agg,
+        "ivf_centroids": q_ivf_centroids,
+        "join_broadcast_part": q_join_broadcast_part,
+        "kmeans_refine": q_kmeans_refine,
+        "kmv_set_ops": q_kmv_set_ops,
+        "lsh_bucket_counts": q_lsh_bucket_counts,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "pq_code_histogram": q_pq_code_histogram,
+        "pricing_summary": q_pricing_summary,
+        "project_net_price": q_project_net_price,
+        "range_frame_window": q_range_frame_window,
+        "retention_cohorts": q_retention_cohorts,
+        "rollup_agg": q_rollup_agg,
+        "semi_join_customers_with_orders": q_semi_join_customers_with_orders,
+        "sink_table_roundtrip": q_sink_table_roundtrip,
+        "span_cut_text": q_span_cut_text,
+        "tpch_q3_top_revenue": q_tpch_q3_top_revenue,
+        "tpch_q5_regional_volume": q_tpch_q5_regional_volume,
+        "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
+        "window_sliding": q_window_sliding,
+        "window_tumbling": q_window_tumbling,
     }
 
 

@@ -94,7 +94,14 @@ def summarize(
     for m in modes:
         missing = [k for k in names if k not in acc[m]]
         note = f"  (INCOMPLETE — missing {missing})" if missing else ""
-        errs = (err_acc or {}).get(m)
-        if errs:
-            note += f"  errors={errs}"
+        errs = (err_acc or {}).get(m) or {}
+        # only errors for queries STILL missing from the accumulator are
+        # unrecovered; a transient failure followed by a successful round
+        # must not annotate a complete total as errored (round-10 review).
+        live = {k: v for k, v in errs.items() if k in missing or k not in acc[m]}
+        recovered = sorted(k for k in errs if k not in live)
+        if live:
+            note += f"  errors={live}"
+        if recovered:
+            note += f"  (recovered-in-later-round: {recovered})"
         print(f"TOTAL {m} = {sum(acc[m].values()):.2f}{note}")

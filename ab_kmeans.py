@@ -70,7 +70,11 @@ def main() -> int:
         for mode in MODES:
             d = ab_common.run_child(child, [mode, sf_dir])
             ab_common.accumulate(acc, mode, d["timings"], d.get("errors"), err_acc)
-            checks.setdefault(mode, d.get("sums", {}))
+            # pin the first NON-EMPTY sums payload; a timed-out round 0
+            # has no 'sums', and pinning {} would make the parity check
+            # below vacuous or spuriously warn (round-10 review).
+            if d.get("sums"):
+                checks.setdefault(mode, d["sums"])
             print(json.dumps({"round": r, "mode": mode,
                               "total": round(sum(d["timings"].values()), 2)}),
                   flush=True)

@@ -31,13 +31,28 @@ qs = entry.queries()
 names = %(names)r
 timings, errors = {}, {}
 for n in names:
-    qs[n](spark, sf_dir).toPandas()
+    # per-query try/except so one failing query records an error and the
+    # AB_RESULT payload (with every other query's timings) still reaches
+    # the parent accumulator (round-10 review: ab_common only handled the
+    # timeout path; an in-child exception lost all accumulated rounds).
+    try:
+        qs[n](spark, sf_dir).toPandas()
+    except Exception as exc:  # noqa: BLE001 — recorded, not swallowed
+        errors[n] = repr(exc)[:500]
     release_persisted_intermediates()
 for p in range(2):
     for n in names:
+        if n in errors:
+            continue
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        qs[n](spark, sf_dir).toPandas()
+        try:
+            qs[n](spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            errors[n] = repr(exc)[:500]
+            timings.pop(n, None)
+            release_persisted_intermediates()
+            continue
         t = time.perf_counter() - t0
         release_persisted_intermediates()
         timings[n] = min(timings.get(n, t), t)
