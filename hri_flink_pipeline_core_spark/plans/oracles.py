@@ -30,6 +30,19 @@ def hexfold(expr: str, nchars: int) -> str:
     )
 
 
+def hexfold_slice(hex_expr: str, start: int, nchars: int) -> str:
+    """Fold an ALREADY-COMPUTED hex string's substring to BIGINT —
+    identical to Spark's conv(substring(hx, start, nchars), 16, 10).
+    Lets one md5 feed several independent hash slices (the
+    Kirsch–Mitzenmeier double-hashing scheme in bloom_prune computes
+    h1/h2 from one digest instead of k digests)."""
+    return (
+        f"list_reduce(list_transform(string_split(substr({hex_expr},"
+        f"{start},{nchars}),''),"
+        " c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+    )
+
+
 def hash32(expr: str) -> str:
     return hexfold(expr, 8)
 

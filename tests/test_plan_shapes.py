@@ -676,11 +676,14 @@ def test_iterative_queries_have_flat_checkpointed_leaves(
     assert plan.count("Scan ExistingRDD") >= n_rdd_scans
 
 
-def test_pagerank_long_loop_checkpoints(spark, sf001):
-    """Loops longer than the 2-iteration default DO checkpoint the
-    loop-invariant node/edge tables (flat LogicalRDD leaves), keeping
-    per-round analysis O(round); the short default instead relies on
-    ReuseExchange inside one job (graph.py rationale)."""
+def test_pagerank_long_loop_checkpoints(spark, sf001, monkeypatch):
+    """Shape contract (round 11): the default 'adj' shape ALWAYS reads
+    its loop-invariant adjacency/node tables from flat LogicalRDD leaves
+    (the whole edge set crosses the wire once, into the checkpointed
+    adjacency); the 'legacy' shape keeps the pre-r11 behavior — flat
+    leaves only for loops longer than the 2-iteration default, short
+    loops relying on ReuseExchange inside one job (graph.py
+    rationale)."""
     from hri_flink_pipeline_core_spark.operators.graph import pagerank
     from hri_flink_pipeline_core_spark.session import read_table
     from pyspark.sql import functions as F
@@ -690,6 +693,11 @@ def test_pagerank_long_loop_checkpoints(spark, sf001):
         (F.col("o_custkey") % 97).alias("src"),
         (F.col("o_orderkey") % 97).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
+
+    adj_plan = plan_of(pagerank(edges, iterations=2), mode="simple")
+    assert adj_plan.count("Scan ExistingRDD") >= 1
+
+    monkeypatch.setenv("SPARK_GRAFT_PAGERANK_SHAPE", "legacy")
     long_plan = plan_of(pagerank(edges, iterations=3), mode="simple")
     assert long_plan.count("Scan ExistingRDD") >= 1
     short_plan = plan_of(pagerank(edges, iterations=2), mode="simple")

@@ -154,15 +154,30 @@ def test_pagerank_matches_python_reference(spark, edges):
     """pagerank vs an independent pure-Python implementation using the
     SAME quantization contract (floor(x*q+0.5) integer sums) — checks the
     join/agg plumbing, dangling-node handling, and determinism."""
+    import os
+
     from hri_flink_pipeline_core_spark.operators.graph import pagerank
 
-    es = sorted({(a, b) for a, b in edges if a != b})
-    got = {
-        r["node"]: r["pagerank"]
-        for r in pagerank(
-            spark.createDataFrame(es, "src int, dst int"), iterations=2
-        ).collect()
-    }
+    # feed the RAW multi-edge list: every shape must dedupe (src,dst)
+    # itself (legacy/flat via distinct, adj via collect_set) — the
+    # reference below works on the deduped set.
+    raw = [(a, b) for a, b in edges if a != b]
+    es = sorted(set(raw))
+    got_by_shape = {}
+    for shape in ("legacy", "flat", "adj"):
+        os.environ["SPARK_GRAFT_PAGERANK_SHAPE"] = shape
+        try:
+            got_by_shape[shape] = {
+                r["node"]: r["pagerank"]
+                for r in pagerank(
+                    spark.createDataFrame(raw, "src int, dst int"),
+                    iterations=2,
+                ).collect()
+            }
+        finally:
+            os.environ.pop("SPARK_GRAFT_PAGERANK_SHAPE", None)
+    got = got_by_shape["adj"]
+    assert got_by_shape["legacy"] == got_by_shape["flat"] == got
 
     nodes = sorted({n for e in es for n in e})
     outdeg: dict[int, int] = {}
