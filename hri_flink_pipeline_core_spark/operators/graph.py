@@ -180,8 +180,16 @@ def _pagerank_adjacency(
         adj.select(F.col("src").alias("node"))
         .unionByName(adj.select(F.explode("_dsts").alias("node")))
         .distinct()
-        .transform(checkpoint_small)
     )
+    # The node list is consumed iterations+1 times. At the default 2
+    # iterations, re-deriving it from the flat adjacency leaf (explode +
+    # node-scale distinct) is cheaper than its checkpoint's
+    # materialization job-set — paired A/B at sf0.1 1.22→1.04 s and
+    # sf~1 1.48→1.39 s (round 11). Longer loops flip the trade (each
+    # extra iteration re-pays a node-scale exchange, the checkpoint is
+    # paid once), so they keep the flat leaf.
+    if iterations > 2:
+        nodes = nodes.transform(checkpoint_small)
     rank = nodes.withColumn("pr", F.lit(1.0))
     for _i in range(iterations):
         contrib = (
