@@ -841,3 +841,116 @@ def test_lsh_family_degenerate_corpus_contract(spark):
     # the exact paths agree on the one real near-dup pair
     assert {(r[0], r[1]) for r in ppj.collect()} == {(1, 2)}
     assert {(r[0], r[1]) for r in jac.collect()} == {(1, 2)}
+
+
+hex_strings = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@given(keys=hex_strings)
+@settings(**{**_SETTINGS, "max_examples": 6})
+def test_hexfold_slice_matches_spark_conv(spark, keys):
+    """oracles.hexfold_slice (DuckDB side of the round-11 bloom double
+    hash) vs Spark's conv(substring(md5, start, n), 16, 10) AND a pure-
+    Python md5 reference — all three must agree on both 32-bit slices
+    for arbitrary key strings."""
+    import duckdb
+    import hashlib
+
+    from hri_flink_pipeline_core_spark.plans import oracles as O
+
+    sdf = (
+        spark.createDataFrame([(k,) for k in keys], "k string")
+        .select(
+            "k",
+            F.md5(F.col("k")).alias("hx"),
+        )
+        .select(
+            "k",
+            F.conv(F.substring("hx", 1, 8), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring("hx", 9, 8), 16, 10).cast("bigint").alias("h2"),
+        )
+        .toPandas()
+        .set_index("k")
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    odf = con.execute(
+        "SELECT k, "
+        f"{O.hexfold_slice('md5(k)', 1, 8)} AS h1, "
+        f"{O.hexfold_slice('md5(k)', 9, 8)} AS h2 FROM t"
+    ).fetchdf().set_index("k")
+    for k in keys:
+        hx = hashlib.md5(k.encode("utf-8")).hexdigest()
+        ref1, ref2 = int(hx[0:8], 16), int(hx[8:16], 16)
+        assert int(sdf.loc[k, "h1"]) == int(odf.loc[k, "h1"]) == ref1
+        assert int(sdf.loc[k, "h2"]) == int(odf.loc[k, "h2"]) == ref2
+
+
+bloom_keys = st.lists(st.integers(0, 5000), min_size=1, max_size=40, unique=True)
+
+
+@given(dim_keys=bloom_keys, fact_keys=bloom_keys)
+@settings(**{**_SETTINGS, "max_examples": 6})
+def test_bloom_double_hash_matches_python_reference(spark, dim_keys, fact_keys):
+    """The round-11 Kirsch–Mitzenmeier bloom probe (one md5, k=3
+    positions (h1 + i*h2) mod m, literal 64-long bitmap, unrolled
+    getbit conjunction) vs a pure-Python bloom built with the identical
+    hash math: membership verdicts must match per fact key, and no dim
+    key may ever read false (zero false negatives by construction)."""
+    import hashlib
+
+    K, BITS = 3, 4096
+
+    def positions(key: int) -> list[int]:
+        hx = hashlib.md5(f"bf-{key}".encode()).hexdigest()
+        h1, h2 = int(hx[0:8], 16), int(hx[8:16], 16)
+        return [(h1 + i * h2) % BITS for i in range(K)]
+
+    bits = set()
+    for k in dim_keys:
+        bits.update(positions(k))
+    expected = {f: all(p in bits for p in positions(f)) for f in fact_keys}
+
+    words = [0] * (BITS // 64)
+    for p in bits:
+        words[p // 64] |= 1 << (p % 64)
+    bm = F.array(
+        *[
+            F.lit(w - (1 << 64) if w >= (1 << 63) else w).cast("long")
+            for w in words
+        ]
+    )
+    df = spark.createDataFrame([(f,) for f in fact_keys], "fk long")
+    hx = df.select(
+        "fk", F.md5(F.concat(F.lit("bf-"), F.col("fk").cast("string"))).alias("_hx")
+    ).select(
+        "fk",
+        F.conv(F.substring("_hx", 1, 8), 16, 10).cast("bigint").alias("_h1"),
+        F.conv(F.substring("_hx", 9, 8), 16, 10).cast("bigint").alias("_h2"),
+    )
+    probed = hx.select(
+        "fk",
+        *[((F.col("_h1") + F.lit(i) * F.col("_h2")) % BITS).alias(f"_p{i}") for i in range(K)],
+    )
+    passed = None
+    for i in range(K):
+        p = F.col(f"_p{i}")
+        bit = F.getbit(F.get(bm, (p / F.lit(64)).cast("int")), p % F.lit(64)) == F.lit(1)
+        passed = bit if passed is None else (passed & bit)
+    got = {
+        r["fk"]: r["pass"]
+        for r in probed.select("fk", passed.alias("pass")).collect()
+    }
+    assert got == expected
+    for k in set(dim_keys) & set(fact_keys):
+        assert got[k] is True  # zero false negatives
