@@ -136,13 +136,38 @@ def _lit_vec(vals) -> str:
 
 
 def _dot_lit_sql(vec_col: str, vals) -> str:
-    """SQL reproducing dot(col, lit) exactly: same zip_with multiply
-    (with the float->double cast) and same left-fold add."""
-    return (
-        f"aggregate(zip_with({vec_col}, {_lit_vec(vals)}, "
-        f"(x, y) -> cast(x as double) * cast(y as double)), "
-        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    """SQL reproducing dot(col, lit) exactly.
+
+    Default form (round 11): an UNROLLED left-chained sum —
+    ``(0.0 + try_element_at(v,1)*w1 + try_element_at(v,2)*w2 + …)`` —
+    which is bit-identical to the historical ``aggregate(zip_with(…))``
+    fold (same multiply with the float→double cast, same left-to-right
+    IEEE addition order, and the same null poisoning: a too-short or
+    NULL-element vector makes ``zip_with`` pad with NULL and the fold
+    returns NULL; ``try_element_at`` out-of-range is NULL and the chain
+    propagates it identically) but runs in whole-stage CODEGEN instead
+    of the interpreted higher-order-function path. One documented
+    divergence: a vector LONGER than the model row (malformed input —
+    every call site compares equal-width vectors or 16-wide slices)
+    folds to NULL under zip_with's padding but yields the model-width
+    partial dot here; clean corpora are bit-identical under both forms.
+    The literal side is a model row, so the term count is the
+    sub-dimension (≤64) — well inside the hyperplane-measured 512-term
+    codegen budget per dot.
+    ``$SPARK_GRAFT_LIT_DOT=hof`` restores the fold form (A/B seam)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_LIT_DOT") == "hof":
+        return (
+            f"aggregate(zip_with({vec_col}, {_lit_vec(vals)}, "
+            f"(x, y) -> cast(x as double) * cast(y as double)), "
+            f"cast(0.0 as double), (acc, v) -> acc + v)"
+        )
+    terms = " + ".join(
+        f"cast(try_element_at({vec_col}, {i + 1}) as double) * {_lit_d(v)}"
+        for i, v in enumerate(vals)
     )
+    return f"(cast(0.0 as double) + {terms})"
 
 
 def _py_norm(vals) -> float:
@@ -1229,9 +1254,20 @@ def pq_codebooks(
 def collect_codebooks(books_df: DataFrame):
     """Collect PQ codebooks (subspaces x k rows) for literal plans;
     None when over the literal budget (callers keep the join shape).
-    Returns {sub: [(code, codeword)] sorted by code}."""
+    Returns {sub: [(code, codeword)] sorted by code}.
+
+    Budget (round 11): the MEASURED centroid crossover, not the 32k
+    lookup-table cap — the corpus-side PQ encode is exactly the kmeans
+    assignment shape (per-row argmax over k literal codewords), and at
+    k=100 codes/subspace (6,400 cells, the sf~1 synthetic corpus) the
+    join path measured 17.6 s vs the literal's 29.5 s for ann_pq_adc
+    (rerank 17.7 vs 31.7; identical outputs asserted) — the same
+    literal-loses-past-k≈32-64 crossover ab_kmeans.py measured in
+    round 10, which that round's note explicitly left unmeasured for
+    PQ. At the real-testdata k=10 (640 cells) the literal path stays
+    and remains the fast shape."""
     rows = _collect_model(books_df.select("sub", "code", "subcentroid"))
-    if not rows or sum(len(r[2]) for r in rows) > LITERAL_MODEL_MAX_CELLS:
+    if not rows or sum(len(r[2]) for r in rows) > LITERAL_CENTROID_MAX_CELLS:
         return None
     by_sub: dict = {}
     for r in rows:
