@@ -1358,7 +1358,15 @@ def pq_encode(
     compression that lets a 100 TB embedding corpus fit a cluster's RAM.
 
     Corpus-side cost: a broadcast join against the tiny codebook and a
-    per-row argmax — the corpus never shuffles."""
+    per-row argmax — the corpus never shuffles.
+
+    Round 11: the k=1 argmax is a ``max(struct(_qd, -code, code))``
+    AGGREGATE, not a (vec, sub)-keyed window — the N×k scored stream
+    collapses map-side to N×subspaces rows before the exchange and no
+    per-key sort runs (struct max compares lexicographically, so the
+    winner is exactly top_k_per_key's struct(_qd, -code) order: highest
+    quantized dot, ties → smallest code; A/B at sf~1 k=100:
+    13.0 → 11.4 s, outputs asserted identical)."""
     sv = _subvectors(df, id_col, vec_col, "vec_id")
     scored = sv.join(F.broadcast(codebooks), "sub").select(
         "vec_id",
@@ -1366,9 +1374,16 @@ def pq_encode(
         "code",
         _qdot(F.col("subvec"), F.col("subcentroid")).alias("_qd"),
     )
-    return top_k_per_key(
-        scored, ["vec_id", "sub"], F.struct(F.col("_qd"), -F.col("code")), 1
-    ).select("vec_id", "sub", "code")
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.max(
+            F.struct(
+                F.col("_qd"),
+                (-F.col("code")).alias("_nc"),
+                F.col("code").alias("_c"),
+            )
+        ).alias("_m")
+    )
+    return best.select("vec_id", "sub", F.col("_m._c").alias("code"))
 
 
 def pq_code_histogram(
