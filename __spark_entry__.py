@@ -3447,77 +3447,33 @@ def q_cooccurrence_lift(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER is deliberate: the driver's correctness harness has a
     # per-round budget (50 keys/round observed since round 1) and walks
-    # this dict in order. Round-11 ordering, per VERDICT.md round 10
-    # "Next round" #2: (0) the 41 keys whose latest driver row is r8 —
-    # the stalest slice after the r10 rotation (bpe_merges included this
-    # time: the verdict named it explicitly; the driver records its
-    # rows-only no_oracle check, which still refreshes the row);
-    # (1) the 2 r10-fresh keys with round-11 plan work (pagerank
-    # exchange reduction, duplicate_spans sf~1 investigation) so any
-    # shipped change is re-verified in-window; (2) 7 r9-tier keys with
-    # the highest information value: the three unpaired r9->r10 one-shot
-    # regression suspects (edit_distance_pairs, dedup_clusters_star,
-    # kmv_distinct) and the 2-2.6x mid-tier sweep targets
-    # (cooccurrence_lift, contamination_flag, doc_fingerprint,
-    # dedup_exact_text). Tiers 0-2 fill the 50-key window exactly;
-    # after r11 the freshness floor is r9. (3)-(4) the rest, oldest
-    # driver round first, alphabetical within tier.
+    # this dict in order. Round-12 ordering, per VERDICT.md round 11
+    # "Next round" #1 and #7: (0) modified-keys-first — the ANN-PQ /
+    # kmeans family whose r11-end plan changes (commits 429aeb8,
+    # 1aa6d98: measured literal/join crossover, pq_encode max(struct)
+    # argmax) postdate their r10 driver rows, plus ann_recall /
+    # ann_recall_multiprobe (shared fused recall report, re-planned
+    # this round), pagerank_domains (NULL-edge contract unified across
+    # the three shapes this round — ADVICE r11 medium), and
+    # cooccurrence_lift (r12 cardinality-cut work). (1) the 41 keys
+    # whose latest driver row is r9 — the stalest slice; the freshness
+    # floor advances r9 -> r10. Tiers 0+1 fill the 50-key window
+    # exactly. (2)-(3) the rest, oldest driver round first,
+    # alphabetical within tier.
     return {
-        # -- (0) the 41 keys whose latest driver row is r8 (VERDICT r10 #2): they go FIRST, unconditionally --
-        "bpe_merges": q_bpe_merges,
-        "event_funnel": q_event_funnel,
-        "event_transitions": q_event_transitions,
-        "frame_sample": q_frame_sample,
-        "hash_sample": q_hash_sample,
-        "incremental_neardup": q_incremental_neardup,
-        "json_array_funcs": q_json_array_funcs,
-        "media_blob_stats": q_media_blob_stats,
-        "media_decode_features": q_media_decode_features,
-        "media_exact_dedup": q_media_exact_dedup,
-        "pivot_agg": q_pivot_agg,
-        "quality_gate": q_quality_gate,
-        "quantile_summary": q_quantile_summary,
-        "rank_features": q_rank_features,
-        "sample_exact_per_stratum": q_sample_exact_per_stratum,
-        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
-        "scd2_intervals": q_scd2_intervals,
-        "semdedup_prune": q_semdedup_prune,
-        "sequence_pack": q_sequence_pack,
-        "session_windows": q_session_windows,
-        "sessionize_events": q_sessionize_events,
-        "set_ops": q_set_ops,
-        "shard_assignment": q_shard_assignment,
-        "stats_moments": q_stats_moments,
-        "stratified_sample": q_stratified_sample,
-        "string_funcs": q_string_funcs,
-        "text_stats": q_text_stats,
-        "tfidf_topterms": q_tfidf_topterms,
-        "tpch_q10_returned_items": q_tpch_q10_returned_items,
-        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
-        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
-        "tpch_q18_large_orders": q_tpch_q18_large_orders,
-        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
-        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
-        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "value_histogram": q_value_histogram,
-        "winsorized_stats": q_winsorized_stats,
-        "zorder_manifest": q_zorder_manifest,
-        # -- (1) r10-fresh keys with round-11 plan work (pagerank shape,
-        #    bloom double-hash rewrite = changed oracle, spans sf~1 row) --
+        # -- (0) 9 modified-keys-first (VERDICT r11 #1): r11-end plan
+        #    changes postdate their r10 driver rows, or r12 plan work --
+        "ann_pq_adc": q_ann_pq_adc,
+        "ann_pq_rerank": q_ann_pq_rerank,
+        "ann_pq_recall": q_ann_pq_recall,
+        "pq_code_histogram": q_pq_code_histogram,
+        "kmeans_refine": q_kmeans_refine,
+        "ann_recall": q_ann_recall,
+        "ann_recall_multiprobe": q_ann_recall_multiprobe,
         "pagerank_domains": q_pagerank_domains,
-        "bloom_prune": q_bloom_prune,
-        "duplicate_spans": q_duplicate_spans,
-        # -- (2) 6 r9-tier keys: regression suspects + mid-tier sweep targets --
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "dedup_clusters_star": q_dedup_clusters_star,
-        "kmv_distinct": q_kmv_distinct,
         "cooccurrence_lift": q_cooccurrence_lift,
-        "contamination_flag": q_contamination_flag,
-        "doc_fingerprint": q_doc_fingerprint,
-        # -- (3) the remaining r9-tier keys, alphabetical --
+        # -- (1) the 41 keys whose latest driver row is r9 (VERDICT r11
+        #    #7), alphabetical; tiers 0+1 = the 50-key window exactly --
         "ann_sq_topk": q_ann_sq_topk,
         "approx_percentile_binned": q_approx_percentile_binned,
         "asof_latest_order": q_asof_latest_order,
@@ -3559,19 +3515,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "weighted_sample": q_weighted_sample,
         "zorder_index": q_zorder_index,
-        # -- (4) the r10-checked keys (freshest), alphabetical --
+        # -- (2) the r10-checked keys not already in tier (0), alphabetical --
         "analytic_window": q_analytic_window,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_ivf_probe": q_ann_ivf_probe,
-        "ann_pq_adc": q_ann_pq_adc,
-        "ann_pq_recall": q_ann_pq_recall,
-        "ann_pq_rerank": q_ann_pq_rerank,
-        "ann_recall": q_ann_recall,
-        "ann_recall_multiprobe": q_ann_recall_multiprobe,
         "ann_sq_recall": q_ann_sq_recall,
         "ann_topk": q_ann_topk,
         "anti_join_customers_without_orders": q_anti_join_customers_without_orders,
-        "bloom_prune": q_bloom_prune,
         "bm25_topk": q_bm25_topk,
         "bucketed_join_colocated": q_bucketed_join_colocated,
         "centroid_distances": q_centroid_distances,
@@ -3590,11 +3540,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_agg": q_grouping_sets_agg,
         "ivf_centroids": q_ivf_centroids,
         "join_broadcast_part": q_join_broadcast_part,
-        "kmeans_refine": q_kmeans_refine,
         "kmv_set_ops": q_kmv_set_ops,
         "lsh_bucket_counts": q_lsh_bucket_counts,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "pq_code_histogram": q_pq_code_histogram,
         "pricing_summary": q_pricing_summary,
         "project_net_price": q_project_net_price,
         "range_frame_window": q_range_frame_window,
@@ -3608,6 +3556,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "window_sliding": q_window_sliding,
         "window_tumbling": q_window_tumbling,
+        # -- (3) the r11-checked keys (freshest) not already in tier
+        #    (0), alphabetical --
+        "bloom_prune": q_bloom_prune,
+        "bpe_merges": q_bpe_merges,
+        "contamination_flag": q_contamination_flag,
+        "dedup_clusters_star": q_dedup_clusters_star,
+        "doc_fingerprint": q_doc_fingerprint,
+        "duplicate_spans": q_duplicate_spans,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "event_funnel": q_event_funnel,
+        "event_transitions": q_event_transitions,
+        "frame_sample": q_frame_sample,
+        "hash_sample": q_hash_sample,
+        "incremental_neardup": q_incremental_neardup,
+        "json_array_funcs": q_json_array_funcs,
+        "kmv_distinct": q_kmv_distinct,
+        "media_blob_stats": q_media_blob_stats,
+        "media_decode_features": q_media_decode_features,
+        "media_exact_dedup": q_media_exact_dedup,
+        "pivot_agg": q_pivot_agg,
+        "quality_gate": q_quality_gate,
+        "quantile_summary": q_quantile_summary,
+        "rank_features": q_rank_features,
+        "sample_exact_per_stratum": q_sample_exact_per_stratum,
+        "scalar_subquery_above_avg": q_scalar_subquery_above_avg,
+        "scd2_intervals": q_scd2_intervals,
+        "semdedup_prune": q_semdedup_prune,
+        "sequence_pack": q_sequence_pack,
+        "session_windows": q_session_windows,
+        "sessionize_events": q_sessionize_events,
+        "set_ops": q_set_ops,
+        "shard_assignment": q_shard_assignment,
+        "stats_moments": q_stats_moments,
+        "stratified_sample": q_stratified_sample,
+        "string_funcs": q_string_funcs,
+        "text_stats": q_text_stats,
+        "tfidf_topterms": q_tfidf_topterms,
+        "tpch_q10_returned_items": q_tpch_q10_returned_items,
+        "tpch_q13_order_distribution": q_tpch_q13_order_distribution,
+        "tpch_q14_promo_revenue": q_tpch_q14_promo_revenue,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q17_small_qty_revenue": q_tpch_q17_small_qty_revenue,
+        "tpch_q18_large_orders": q_tpch_q18_large_orders,
+        "tpch_q19_bracket_revenue": q_tpch_q19_bracket_revenue,
+        "tpch_q22_idle_customers": q_tpch_q22_idle_customers,
+        "tpch_q7_nation_volume": q_tpch_q7_nation_volume,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "value_histogram": q_value_histogram,
+        "winsorized_stats": q_winsorized_stats,
+        "zorder_manifest": q_zorder_manifest,
     }
 
 

@@ -84,6 +84,13 @@ def pagerank(
     #   re-walked by every consumer (per-consumer column pruning defeats
     #   ReuseExchange: ~5 redundant edge-scale evaluations at 2
     #   iterations; measured 3.5 s at sf~1 vs DuckDB 0.26 s).
+    # One NULL contract for ALL shapes (ADVICE r11): an edge with a
+    # NULL endpoint is malformed and contributes nothing — it neither
+    # creates a NULL node nor inflates a real node's out-degree. Before
+    # round 12 only the adj shape filtered (collect_set additionally
+    # drops NULL dsts), so legacy/flat diverged on NULL-containing
+    # inputs; the filter is now applied once, up front, shape-blind.
+    edges = edges.filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
     shape = os.environ.get("SPARK_GRAFT_PAGERANK_SHAPE", "adj")
     if shape == "adj":
         return _pagerank_adjacency(edges, iterations, damping, base, quantum)
@@ -169,8 +176,7 @@ def _pagerank_adjacency(
     summed as BIGINT.
     """
     adj = (
-        edges.select("src", "dst")
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        edges.select("src", "dst")  # NULL endpoints already filtered by pagerank()
         .groupBy("src")
         .agg(F.collect_set("dst").alias("_dsts"))
         .select("src", "_dsts", F.size("_dsts").alias("_d"))

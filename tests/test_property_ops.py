@@ -195,6 +195,38 @@ def test_pagerank_matches_python_reference(spark, edges):
     assert got == pr
 
 
+def test_pagerank_null_endpoint_edges_one_contract(spark):
+    """ADVICE r11: all three shapes must share ONE NULL contract — an
+    edge with a NULL src or dst contributes nothing (no NULL node in the
+    output, no out-degree inflation of real nodes). Before round 12 the
+    legacy/flat shapes kept NULL endpoints while adj filtered them."""
+    import os
+
+    from hri_flink_pipeline_core_spark.operators.graph import pagerank
+
+    clean = [(1, 2), (2, 3), (3, 1)]
+    dirty = clean + [(1, None), (None, 2), (None, None)]
+    expect = {
+        r["node"]: r["pagerank"]
+        for r in pagerank(
+            spark.createDataFrame(clean, "src int, dst int"), iterations=2
+        ).collect()
+    }
+    for shape in ("legacy", "flat", "adj"):
+        os.environ["SPARK_GRAFT_PAGERANK_SHAPE"] = shape
+        try:
+            got = {
+                r["node"]: r["pagerank"]
+                for r in pagerank(
+                    spark.createDataFrame(dirty, "src int, dst int"),
+                    iterations=2,
+                ).collect()
+            }
+        finally:
+            os.environ.pop("SPARK_GRAFT_PAGERANK_SHAPE", None)
+        assert got == expect, shape
+
+
 merge_rows = st.lists(
     st.tuples(st.integers(0, 5), st.integers(0, 99)), min_size=0, max_size=20
 )

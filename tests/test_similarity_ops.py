@@ -33,6 +33,21 @@ def test_ann_blas_matches_bruteforce_ranking(spark):
         assert abs(ex_cos[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
 
 
+def test_dot_lit_sql_empty_model_row(spark):
+    """ADVICE r11: the unrolled literal dot with an EMPTY vals list must
+    render valid SQL evaluating to 0.0 (the fold form's value), not the
+    malformed '(cast(0.0 as double) + )'."""
+    from hri_flink_pipeline_core_spark.operators.similarity import _dot_lit_sql
+
+    sql = _dot_lit_sql("v", [])
+    row = (
+        spark.createDataFrame([([1.0, 2.0],)], "v array<float>")
+        .selectExpr(f"{sql} AS d")
+        .collect()[0]
+    )
+    assert row.d == 0.0
+
+
 def ts(s):
     return datetime.fromisoformat(s)
 
