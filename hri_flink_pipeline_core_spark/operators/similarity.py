@@ -163,11 +163,72 @@ def _dot_lit_sql(vec_col: str, vals) -> str:
             f"(x, y) -> cast(x as double) * cast(y as double)), "
             f"cast(0.0 as double), (acc, v) -> acc + v)"
         )
+    if not vals:
+        # ADVICE r11: the unrolled chain with zero terms would render
+        # "(cast(0.0 as double) + )" — malformed SQL. The fold form
+        # evaluates an empty literal to 0.0; match it.
+        return "cast(0.0 as double)"
     terms = " + ".join(
         f"cast(try_element_at({vec_col}, {i + 1}) as double) * {_lit_d(v)}"
         for i, v in enumerate(vals)
     )
     return f"(cast(0.0 as double) + {terms})"
+
+
+def _dot_cols_sql(a_col: str, b_col: str, width: int) -> str:
+    """SQL reproducing dot(col_a, col_b) exactly for a STATICALLY KNOWN
+    vector width — the column-column sibling of _dot_lit_sql (round 12).
+
+    The HOF fold ``aggregate(zip_with(...))`` is a CodegenFallback
+    expression: every evaluation is interpreted, and the hot join paths
+    (pq_encode's N x k subspace dots, ann_recall's Q x N exact leg,
+    kmeans assignment's N x k dots) pay it per pair. An unrolled
+    left-chained sum of ``cast(try_element_at(a,i) as double) *
+    cast(try_element_at(b,i) as double)`` terms is bit-identical (same
+    float->double cast on each side, same left-to-right IEEE addition
+    from the 0.0 seed, same NULL poisoning: a NULL element or a
+    too-short array yields NULL under both forms) but runs in
+    whole-stage codegen. The one documented divergence, shared with
+    _dot_lit_sql: an array LONGER than ``width`` folds extra terms
+    under zip_with but is truncated here — every call site passes the
+    schema-contract width (PQ_SUBDIM / DEFAULT_DIM) of equal-width
+    vectors. ``$SPARK_GRAFT_COL_DOT=hof`` restores the fold (A/B seam).
+    """
+    if width <= 0:
+        return "cast(0.0 as double)"
+    terms = " + ".join(
+        f"cast(try_element_at({a_col}, {i}) as double)"
+        f" * cast(try_element_at({b_col}, {i}) as double)"
+        for i in range(1, width + 1)
+    )
+    return f"(cast(0.0 as double) + {terms})"
+
+
+# Column-column unroll width cap, MEASURED at sf~1 (round 12): the
+# 16-term PQ-subspace unroll is the 2.57x->1.18x / 2.80x->1.17x win
+# (ann_pq_adc / ann_pq_rerank), but the SAME transform at the 64-term
+# full-embedding width REGRESSED kmeans_refine 2.2x->5.3x and
+# ann_recall to 5.2x (Spark 65 s): 64 try_element_at pairs x k
+# centroids per generated function blows the JIT's 8 KB bytecode
+# budget, so the split codegen runs interpreted and loses to the HOF
+# fold it replaced. Literal dots (_dot_lit_sql) don't hit this — one
+# side folds to constants, halving the term cost — hence their
+# separate, larger measured budget.
+COL_DOT_UNROLL_MAX = 16
+
+
+def dot_w(a_name: str, b_name: str, width: int) -> Column:
+    """dot() between two array COLUMNS (by name) of known width —
+    unrolled into whole-stage codegen when width <= COL_DOT_UNROLL_MAX,
+    else the HOF fold (wide unrolls are a measured regression, see the
+    cap's note). $SPARK_GRAFT_COL_DOT=hof forces the fold,
+    $SPARK_GRAFT_COL_DOT=unroll forces the unroll (A/B seams)."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_COL_DOT")
+    if mode == "hof" or (mode != "unroll" and width > COL_DOT_UNROLL_MAX):
+        return dot(F.col(a_name), F.col(b_name))
+    return F.expr(_dot_cols_sql(_qi(a_name), _qi(b_name), width))
 
 
 def _py_norm(vals) -> float:
@@ -228,9 +289,34 @@ def _cos_struct_array_sql(vec_col: str, norm_col: str, cents) -> str:
 
 def nearest_label_col(vec_col: str, norm_col: str, cents) -> Column:
     """Nearest-centroid label (cosine, ties -> smallest label) as a pure
-    per-row projection over literal centroids."""
-    arr = _cos_struct_array_sql(vec_col, norm_col, cents)
-    return F.expr(f"cast(-array_max({arr}).nl as int)")
+    per-row projection over literal centroids.
+
+    Round 12: ``greatest(s_0, …, s_{k-1})`` over flat named_structs
+    instead of ``array_max(array(…))``. The array form ALLOCATES a
+    k-element struct array per row before reducing it — at k=100 that
+    per-row allocation is what made the 6,400-cell literal plan fall
+    behind the join (the r9 38.7 s row that set the 2,048-cell budget).
+    greatest is variadic, allocation-free, and codegen splits its
+    comparison chain into JIT-sized methods. Identical semantics:
+    greatest and array_max use the same struct ordering (lexicographic,
+    (cosine, -label) — ties -> smallest label) and both skip NULL
+    entries. ``$SPARK_GRAFT_NEAREST=array`` restores the array form
+    (A/B seam)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NEAREST") == "array":
+        arr = _cos_struct_array_sql(vec_col, norm_col, cents)
+        return F.expr(f"cast(-array_max({arr}).nl as int)")
+    entries = []
+    for lbl, vec in cents:
+        cos = (
+            f"({_dot_lit_sql(vec_col, vec)} / "
+            f"({norm_col} * {_lit_d(_py_norm(vec))}))"
+        )
+        entries.append(f"named_struct('s', {cos}, 'nl', {-int(lbl)}L)")
+    if len(entries) == 1:
+        return F.expr(f"cast(-({entries[0]}).nl as int)")
+    return F.expr(f"cast(-greatest({','.join(entries)}).nl as int)")
 
 
 def probe_labels_col(
@@ -793,6 +879,7 @@ def ann_recall_report(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Per-query recall of IVF-probe search against exact brute force,
     computed in ONE corpus pass (round 6 — the two-leg form ran the
@@ -801,14 +888,17 @@ def ann_recall_report(
     Every (query, neighbor) pair needs the exact cosine for the
     brute-force leg anyway, and probe membership is a flag
     (``array_contains(probe_labels, neighbor_label)``), so both top-k
-    sets are two ``row_number`` ranks over the SAME per-query partition
-    of the SAME scored pairs: the exact rank orders by
+    sets derive from ONE ordering of the SAME per-query partition of
+    the SAME scored pairs: the exact rank is ``row_number`` by
     struct(cosine, neighbor_id) desc (identical to top_k_per_key in
-    ann_topk_bruteforce), the probe rank orders in-probe rows first
-    then the same struct — for an in-probe row it equals its rank
-    within the probed subset, i.e. ann_ivf_probe's top-k. One scan,
-    one broadcast cross join, one exchange, one aggregate; the values
-    are identical to the two-leg form by construction.
+    ann_topk_bruteforce), and the probe rank — only ever consulted on
+    in-probe rows — is the running count of in-probe rows under that
+    same ordering, which for an in-probe row equals its rank within
+    the probed subset, i.e. ann_ivf_probe's top-k (round 12: the
+    two-ordering form planned two Window sorts of the Q x N table;
+    this plans one). One scan, one broadcast cross join, one exchange,
+    one sort, one aggregate; the values are identical to the two-leg
+    form by construction.
     """
     q = queries.select(
         F.col(query_id).alias("query_id"),
@@ -859,27 +949,36 @@ def ann_recall_report(
     pairs = c.crossJoin(F.broadcast(qp)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
+    # round 12: the exact leg's Q x N dots are the report's hot loop —
+    # unrolled codegen dot (dim is the schema-contract vector width)
     scored = pairs.select(
         "query_id",
         "neighbor_id",
         (
-            dot(F.col("q_vec"), F.col("c_vec"))
+            dot_w("q_vec", "c_vec", dim)
             / (F.col("q_norm") * F.col("c_norm"))
         ).alias("cosine"),
         F.array_contains(F.col("_pl"), F.col("_n_label")).alias("_in_probe"),
     )
     from pyspark.sql.window import Window
 
+    # round 12: ONE window sort, not two. The probe rank the n_hit
+    # predicate consults is only ever read on in-probe rows, and for an
+    # in-probe row its rank under (in_probe desc, struct desc) equals
+    # the RUNNING COUNT of in-probe rows at-or-before it under plain
+    # (struct desc) — so both ranks are window functions over the SAME
+    # partitioning + ordering and Spark plans a single Window operator
+    # with a single underlying sort of the Q x N pair table (the old
+    # two-ordering form sorted it twice).
     order_struct = F.struct(F.col("cosine"), F.col("neighbor_id"))
     w_ex = Window.partitionBy("query_id").orderBy(order_struct.desc())
-    w_pr = Window.partitionBy("query_id").orderBy(
-        F.col("_in_probe").desc(), order_struct.desc()
-    )
     ranked = scored.select(
         "query_id",
         "_in_probe",
         F.row_number().over(w_ex).alias("_rn_ex"),
-        F.row_number().over(w_pr).alias("_rn_pr"),
+        F.sum(F.when(F.col("_in_probe"), 1).otherwise(0))
+        .over(w_ex.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("_rn_pr"),
     )
     agg = ranked.groupBy("query_id").agg(
         F.sum(F.when(F.col("_rn_ex") <= k, 1).otherwise(0)).alias("n_true"),
@@ -1058,10 +1157,25 @@ def kmeans_assign(
     centroids: DataFrame,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Lloyd assignment step: nearest centroid by cosine (ties -> smallest
     label). Centroids are tiny (k rows) -> broadcast cross join; the
-    corpus never shuffles. Returns (vec_id, cluster, _vec)."""
+    corpus never shuffles. Returns (vec_id, cluster, _vec).
+
+    Round 12: the N x k dots run as the unrolled codegen dot (dim is
+    the schema-contract width) instead of the interpreted HOF fold, and
+    the k=1 argmax is a map-side-combining ``max(struct)`` aggregate
+    (the pq_encode round-11 pattern): the N x k scored stream collapses
+    to N rows before the exchange and no per-key sort runs. The max
+    struct's leading fields reproduce top_k_per_key's
+    struct(_cos, -_c_label) order exactly (highest cosine, ties ->
+    smallest label); _c_label/_vec ride along and never decide the max
+    (the -label field is unique per vector).
+    ``$SPARK_GRAFT_KM_ARGMAX=window`` restores the top_k_per_key
+    window (A/B seam — unlike pq_encode's 8-byte code payload, this
+    struct carries the dim-wide _vec array through the agg buffer, so
+    the pq win does not automatically transfer)."""
     cent = centroids.select(
         F.col("label").alias("_c_label"),
         F.col("centroid").alias("_c_vec"),
@@ -1076,13 +1190,99 @@ def kmeans_assign(
         "vec_id",
         "_vec",
         "_c_label",
-        (dot(F.col("_vec"), F.col("_c_vec")) / (F.col("_nrm") * F.col("_c_norm"))).alias(
+        (dot_w("_vec", "_c_vec", dim) / (F.col("_nrm") * F.col("_c_norm"))).alias(
             "_cos"
         ),
     )
-    return top_k_per_key(
-        scored, ["vec_id"], F.struct(F.col("_cos"), -F.col("_c_label")), 1
-    ).select("vec_id", F.col("_c_label").alias("cluster"), "_vec")
+    import os
+
+    if os.environ.get("SPARK_GRAFT_KM_ARGMAX") == "window":
+        return top_k_per_key(
+            scored, ["vec_id"], F.struct(F.col("_cos"), -F.col("_c_label")), 1
+        ).select("vec_id", F.col("_c_label").alias("cluster"), "_vec")
+    best = scored.groupBy("vec_id").agg(
+        F.max(
+            F.struct(
+                F.col("_cos"),
+                (-F.col("_c_label")).alias("_nl"),
+                F.col("_c_label").alias("_l"),
+                F.col("_vec").alias("_v"),
+            )
+        ).alias("_m")
+    )
+    return best.select(
+        "vec_id", F.col("_m._l").alias("cluster"), F.col("_m._v").alias("_vec")
+    )
+
+
+def kmeans_assign_pandas(
+    base: DataFrame, cents, vec_id: str = "vec_id", vec_col: str = "_vec"
+) -> DataFrame:
+    """Lloyd assignment over a COLLECTED centroid model as an
+    Arrow-batched ``mapInPandas`` projection (round 12) — the mid-k
+    regime where both JVM shapes lose: the literal expression is
+    compile-bound (a k x dim greatest chain re-parses ~10 MB of plan
+    every Lloyd round — measured 9.7 MiB task binaries at k=100) and
+    the broadcast join pays an N x k row explosion through an
+    interpreted HOF dot per pair (the sf~1 32 s). Here the corpus never
+    shuffles, no N x k rows materialize, and the dots vectorize across
+    the batch in numpy.
+
+    BIT-EXACT by fold order, not by accident: the JVM dot is a
+    left-fold ``acc = acc + (double)x_d * (double)y_d`` over dims in
+    ascending order, so the numpy loop runs ONE VECTORIZED ADD PER
+    DIMENSION (``acc += V[:, d] * C[:, d]``) — each element sees the
+    identical IEEE-double operation sequence as the JVM fold — instead
+    of np.dot/matmul, whose pairwise/BLAS summation reorders the adds
+    and breaks the 1e-10-quantized oracle contract. Norms use the same
+    per-dim fold + correctly-rounded sqrt; the division is one IEEE op.
+    Ties: centroid columns are ordered by ascending label
+    (collect_model_rows sorts) and np.argmax returns the FIRST maximum
+    -> smallest label, reproducing max(struct(_cos, -label)).
+    NULL/NaN embeddings are out of contract here (the generated tables
+    have none; the JVM paths NULL-poison instead).
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([v for _, v in cents], dtype=np.float64).T  # dim x k
+    dim, k = C.shape
+    acc = np.zeros(k)
+    for d in range(dim):
+        acc = acc + C[d] * C[d]
+    c_norm = np.sqrt(acc)
+
+    id_f, vec_f = base.schema[vec_id], base.schema[vec_col]
+    out_schema = f"`{vec_id}` {id_f.dataType.simpleString()}, cluster int, `{vec_col}` {vec_f.dataType.simpleString()}"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(V)
+            dots = np.zeros((n, k))
+            nacc = np.zeros(n)
+            for d in range(dim):
+                dots += V[:, d : d + 1] * C[d][None, :]
+                nacc = nacc + V[:, d] * V[:, d]
+            cos = dots / (np.sqrt(nacc)[:, None] * c_norm[None, :])
+            best = np.argmax(cos, axis=1)
+            yield pd.DataFrame(
+                {
+                    vec_id: pdf[vec_id].to_numpy(),
+                    "cluster": _labels_np(cents)[best],
+                    vec_col: pdf[vec_col].to_numpy(),
+                }
+            )
+
+    return base.select(vec_id, vec_col).mapInPandas(assign, out_schema)
+
+
+def _labels_np(cents):
+    import numpy as np
+
+    return np.array([int(lbl) for lbl, _ in cents], dtype=np.int32)
 
 
 def kmeans_quantized_update(
@@ -1213,6 +1413,14 @@ def _qdot(a: Column, b: Column) -> Column:
     """Index-order dot product quantized to a BIGINT at 1e-10 — the
     engine's standard trick for order-independent exact float compare."""
     return F.floor(dot(a, b) * F.lit(_Q) + F.lit(0.5)).cast("bigint")
+
+
+def _qdot_w(a_name: str, b_name: str, width: int) -> Column:
+    """_qdot between two array COLUMNS of known width via the unrolled
+    codegen dot (round 12) — bit-identical quantized value."""
+    return F.floor(dot_w(a_name, b_name, width) * F.lit(_Q) + F.lit(0.5)).cast(
+        "bigint"
+    )
 
 
 def pq_codebooks(
@@ -1368,11 +1576,13 @@ def pq_encode(
     quantized dot, ties → smallest code; A/B at sf~1 k=100:
     13.0 → 11.4 s, outputs asserted identical)."""
     sv = _subvectors(df, id_col, vec_col, "vec_id")
+    # round 12: the N x k subspace dots are the encode's hot loop — the
+    # unrolled codegen dot replaces the interpreted HOF fold
     scored = sv.join(F.broadcast(codebooks), "sub").select(
         "vec_id",
         "sub",
         "code",
-        _qdot(F.col("subvec"), F.col("subcentroid")).alias("_qd"),
+        _qdot_w("subvec", "subcentroid", PQ_SUBDIM).alias("_qd"),
     )
     best = scored.groupBy("vec_id", "sub").agg(
         F.max(
@@ -1488,7 +1698,7 @@ def ann_pq_adc(
         "query_id",
         "sub",
         "code",
-        _qdot(F.col("subvec"), F.col("subcentroid")).alias("_part"),
+        _qdot_w("subvec", "subcentroid", PQ_SUBDIM).alias("_part"),
     )
     contrib = codes.join(F.broadcast(lut), ["sub", "code"]).filter(
         F.col("query_id") != F.col("vec_id")
@@ -1642,11 +1852,28 @@ def kmeans_lloyd(
     projection over literal centroids — MLlib KMeans' own iteration
     shape (centers collected + re-broadcast per round). One Spark job
     per round (the k-row update collect), no broadcast-join/window/
-    checkpoint machinery; the corpus never shuffles. Falls back to the
-    join+checkpoint shape when k x dim exceeds the literal budget."""
-    cents = collect_model_rows(
-        init_centroids, "label", "centroid",
-        max_cells=LITERAL_CENTROID_MAX_CELLS,
+    checkpoint machinery; the corpus never shuffles.
+
+    Round-12 mid-k regime: above the literal codegen budget
+    (LITERAL_CENTROID_MAX_CELLS) but within the collectable model
+    budget (LITERAL_MODEL_MAX_CELLS), assignment runs as the
+    fold-order-exact vectorized ``kmeans_assign_pandas`` — measured at
+    sf~1 k=100: join 34.6 s / literal-greatest 28.1 s / pandas (see
+    BASELINE round-12) — keeping the collected-model iteration cadence
+    either way. The broadcast-join + agg-argmax shape remains the
+    fallback when even the model collect is over budget (k x dim >
+    32k cells). ``$SPARK_GRAFT_KM_ASSIGN`` in {join, literal, pandas}
+    forces a shape (A/B seam)."""
+    import os
+
+    forced = os.environ.get("SPARK_GRAFT_KM_ASSIGN")
+    cents = (
+        None
+        if forced == "join"
+        else collect_model_rows(
+            init_centroids, "label", "centroid",
+            max_cells=LITERAL_MODEL_MAX_CELLS,
+        )
     )
     if cents is None:
         centroids = init_centroids
@@ -1664,19 +1891,29 @@ def kmeans_lloyd(
         norm(F.col(vec_col)).alias("_nrm"),
     )
     dim = len(cents[0][1])
-    for _ in range(iters):
-        assigned = base.withColumn(
-            "cluster", nearest_label_col("_vec", "_nrm", cents)
+
+    def assign(cents_now):
+        cells = sum(len(v) for _, v in cents_now)
+        lit = (
+            forced == "literal"
+            or (forced != "pandas" and cells <= LITERAL_CENTROID_MAX_CELLS)
         )
+        if lit:
+            return base.withColumn(
+                "cluster", nearest_label_col("_vec", "_nrm", cents_now)
+            )
+        return kmeans_assign_pandas(base, cents_now)
+
+    for _ in range(iters):
         cents = collect_model_rows(
-            kmeans_quantized_update(assigned.select("cluster", "_vec"), dim),
+            kmeans_quantized_update(
+                assign(cents).select("cluster", "_vec"), dim
+            ),
             "label",
             "centroid",
-            max_cells=LITERAL_CENTROID_MAX_CELLS,
+            max_cells=LITERAL_MODEL_MAX_CELLS,
         )
-    return base.withColumn(
-        "cluster", nearest_label_col("_vec", "_nrm", cents)
-    ).select("vec_id", "cluster")
+    return assign(cents).select("vec_id", "cluster")
 
 
 # --------------------------------------------------------------------------
