@@ -138,36 +138,42 @@ def _lit_vec(vals) -> str:
 def _dot_lit_sql(vec_col: str, vals) -> str:
     """SQL reproducing dot(col, lit) exactly.
 
-    Default form (round 11): an UNROLLED left-chained sum —
-    ``(0.0 + try_element_at(v,1)*w1 + try_element_at(v,2)*w2 + …)`` —
-    which is bit-identical to the historical ``aggregate(zip_with(…))``
-    fold (same multiply with the float→double cast, same left-to-right
-    IEEE addition order, and the same null poisoning: a too-short or
-    NULL-element vector makes ``zip_with`` pad with NULL and the fold
-    returns NULL; ``try_element_at`` out-of-range is NULL and the chain
-    propagates it identically) but runs in whole-stage CODEGEN instead
-    of the interpreted higher-order-function path. One documented
-    divergence: a vector LONGER than the model row (malformed input —
-    every call site compares equal-width vectors or 16-wide slices)
-    folds to NULL under zip_with's padding but yields the model-width
-    partial dot here; clean corpora are bit-identical under both forms.
-    The literal side is a model row, so the term count is the
-    sub-dimension (≤64) — well inside the hyperplane-measured 512-term
-    codegen budget per dot.
-    ``$SPARK_GRAFT_LIT_DOT=hof`` restores the fold form (A/B seam)."""
+    Default form (round 12, REVERTED to the fold): the
+    ``aggregate(zip_with(…))`` higher-order fold. Round 11 shipped an
+    UNROLLED left-chained sum as the default — bit-identical (same
+    float→double cast per term, same left-to-right IEEE addition from
+    the 0.0 seed, same NULL poisoning via ``try_element_at``) but
+    whole-stage-codegen'd — on sf~1 evidence that it was "never
+    slower". Round 12 re-measured BOTH scales on current code (after
+    the big-k encode moved to the join path, which scores with the
+    column-column ``dot_w`` and never sees literal dots): the unroll
+    is now slower EVERYWHERE the literal path still runs — sf0.1
+    ann_pq_adc 3.93 s vs 0.99 s fold, kmeans_refine 3.17 vs 1.14,
+    ann_pq_recall 2.51 vs 1.14 (it bloats the serialized plan to
+    ~1.1 MiB task binaries and the 640–2,048-cell stacked expressions
+    fall out of JIT); sf~1 rerank 8.19 vs 6.59, recall 6.65 vs 5.13,
+    kmeans 4.29 vs 3.78. The unroll's former win regime was the big-k
+    encode, which no longer takes this path — so the fold is the
+    right default at every remaining call site. One residual
+    divergence of the unroll form, kept documented for the seam: a
+    vector LONGER than the model row folds to NULL under zip_with's
+    padding but yields the model-width partial dot when unrolled.
+    ``$SPARK_GRAFT_LIT_DOT=unroll`` forces the round-11 chain (A/B
+    seam; the fold is also the fallback for empty model rows)."""
     import os
 
-    if os.environ.get("SPARK_GRAFT_LIT_DOT") == "hof":
+    if not vals:
+        # ADVICE r11: the unrolled chain with zero terms would render
+        # "(cast(0.0 as double) + )" — malformed SQL — and the fold
+        # form's empty array() literal is untyped; both forms of an
+        # empty dot ARE the constant 0.0, so render that directly.
+        return "cast(0.0 as double)"
+    if os.environ.get("SPARK_GRAFT_LIT_DOT") != "unroll":
         return (
             f"aggregate(zip_with({vec_col}, {_lit_vec(vals)}, "
             f"(x, y) -> cast(x as double) * cast(y as double)), "
             f"cast(0.0 as double), (acc, v) -> acc + v)"
         )
-    if not vals:
-        # ADVICE r11: the unrolled chain with zero terms would render
-        # "(cast(0.0 as double) + )" — malformed SQL. The fold form
-        # evaluates an empty literal to 0.0; match it.
-        return "cast(0.0 as double)"
     terms = " + ".join(
         f"cast(try_element_at({vec_col}, {i + 1}) as double) * {_lit_d(v)}"
         for i, v in enumerate(vals)
