@@ -51,6 +51,15 @@ def main() -> int:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     con = duckdb.connect()
+    # Round 12: an in-memory DuckDB connection has disk spilling
+    # DISABLED, so the sf~10 sweeps died with a hard allocator OOM
+    # (the Spark JVM shares the host's 125 GB). Give the oracle leg a
+    # temp directory and an explicit budget so it spills like any
+    # engine at scale instead of crashing — this can only HELP the
+    # oracle leg (rows before/after are comparable: a run that needed
+    # the spill path would previously have produced no row at all).
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='48GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 

@@ -48,6 +48,42 @@ def test_dot_lit_sql_empty_model_row(spark):
     assert row.d == 0.0
 
 
+def test_dot_lit_sql_fold_unroll_bit_identity(spark, monkeypatch):
+    """The two SPARK_GRAFT_LIT_DOT seam forms (round-12 default: the
+    HOF fold; round-11 chain via =unroll) must be BIT-identical on
+    equal-width vectors — same float->double cast per term, same
+    left-to-right IEEE addition from the 0.0 seed — and share NULL
+    poisoning for a NULL element. (A vector SHORTER than the model row
+    is also NULL under both: zip_with pads with NULL, try_element_at
+    out-of-range is NULL.)"""
+    import os
+
+    from hri_flink_pipeline_core_spark.operators.similarity import _dot_lit_sql
+
+    model = [0.1, -2.5, 3.75, 1e-7, -0.0, 123.456, 7.0, -8.125]
+    rows = [
+        ([0.3, 1.7, -2.2, 9.9, 1e-5, -1e5, 0.5, 2.25],),
+        ([1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],),  # NULL element
+        ([1.5, 2.5, 3.5],),  # shorter than the model row
+    ]
+    df = spark.createDataFrame(rows, "v array<float>")
+    out = {}
+    for mode in ("fold", "unroll"):
+        if mode == "unroll":
+            monkeypatch.setenv("SPARK_GRAFT_LIT_DOT", "unroll")
+        else:
+            monkeypatch.delenv("SPARK_GRAFT_LIT_DOT", raising=False)
+        sql = _dot_lit_sql("v", model)
+        out[mode] = [r.d for r in df.selectExpr(f"{sql} AS d").collect()]
+    import struct as _s
+
+    def bits(x):
+        return None if x is None else _s.pack("<d", x)
+
+    assert [bits(x) for x in out["fold"]] == [bits(x) for x in out["unroll"]]
+    assert out["fold"][1] is None and out["fold"][2] is None
+
+
 def ts(s):
     return datetime.fromisoformat(s)
 
