@@ -835,37 +835,174 @@ def ann_pq_recall_report(
     )
     from pyspark.sql.window import Window
 
+    # round 12 (opt round): the rerank rank is REDUNDANT — same
+    # subset-rank argument as ann_recall_report. The rerank orders the
+    # SHORTLIST by the exact struct, so a shortlisted row's rerank rank
+    # is its exact-struct rank within a subset, which can never exceed
+    # its exact rank over all rows: `_rn_ex <= k AND _short` already
+    # implies `_rn_rr <= k` (one k for both legs in this function).
+    # Dropping the third window removes one full sort of the Q x N
+    # pair table from the plan (3 sorts -> 2; the two that remain are
+    # irreducible: the truth and shortlist legs order by different
+    # structs). Values identical; re-verified against the oracle.
     ex_struct = F.struct(F.col("cosine"), F.col("neighbor_id"))
     adc_struct = F.struct(F.col("approx_dot"), F.col("neighbor_id"))
     w_ex = Window.partitionBy("query_id").orderBy(ex_struct.desc())
     w_adc = Window.partitionBy("query_id").orderBy(adc_struct.desc())
     staged = scored.select(
         "query_id",
-        "cosine",
-        "neighbor_id",
         F.row_number().over(w_ex).alias("_rn_ex"),
         (F.row_number().over(w_adc) <= shortlist).alias("_short"),
     )
-    w_rr = Window.partitionBy("query_id").orderBy(
-        F.col("_short").desc(),
-        F.struct(F.col("cosine"), F.col("neighbor_id")).desc(),
-    )
-    ranked = staged.select(
-        "query_id",
-        "_rn_ex",
-        "_short",
-        F.row_number().over(w_rr).alias("_rn_rr"),
-    )
-    agg = ranked.groupBy("query_id").agg(
+    agg = staged.groupBy("query_id").agg(
         F.sum(F.when(F.col("_rn_ex") <= k, 1).otherwise(0)).alias("n_true"),
         F.sum(
-            F.when(
-                (F.col("_rn_ex") <= k)
-                & F.col("_short")
-                & (F.col("_rn_rr") <= k),
-                1,
-            ).otherwise(0)
+            F.when((F.col("_rn_ex") <= k) & F.col("_short"), 1).otherwise(0)
         ).alias("n_hit"),
+    )
+    return agg.select(
+        "query_id",
+        "n_true",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_true")).alias("recall"),
+    )
+
+
+#: Query-side cap for the vectorized recall leg: the query matrix is
+#: collected and broadcast (like ann_topk_blas), and each Arrow batch
+#: evaluates a (batch x Q) score block per dimension — fine for the
+#: bounded query SAMPLES the recall reports use by contract (20 rows),
+#: quadratic-ish beyond. Above the cap the SQL window form runs instead.
+RECALL_VEC_MAX_QUERIES = 1024
+
+
+def _py_dot(a, b) -> float:
+    """Python replica of dot(): left-fold acc + a_d*b_d in index order.
+    Python floats are IEEE doubles with correctly-rounded * and +, so
+    this equals the JVM fold bit-for-bit (same contract as _py_norm)."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    return acc
+
+
+def _recall_report_vec(
+    q_rows,
+    corpus: DataFrame,
+    cents,
+    k: int,
+    nprobe: int,
+    corpus_id: str,
+    vec_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Vectorized exact+probe scoring leg of ann_recall_report (round 12
+    opt round, guide §4.2): the Q x N exact cosines were the report's
+    hot loop, and at dim 64 they run through the INTERPRETED HOF fold
+    (the 64-term codegen unroll is a measured regression — see
+    COL_DOT_UNROLL_MAX). This leg scores each Arrow batch in numpy with
+    the same per-dimension left-fold kmeans_assign_pandas ships
+    (``acc += V[:, d] * q_d`` in ascending d — every element sees the
+    identical IEEE-double op sequence as the JVM fold; norms use the
+    same fold + correctly-rounded sqrt; the denominator multiplies
+    q_norm * c_norm before one division, matching the SQL expression
+    tree), then emits only each query's per-batch top-k by the exact
+    struct(cosine, neighbor_id) desc comparator — a superset of the
+    global top-k, so the downstream WindowGroupLimit window over
+    Q x k x batches rows reproduces ann_topk_bruteforce's ranking
+    bit-for-bit. Probe labels per query are computed driver-side with
+    the same pure-Python folds probe_labels_col literalizes (ties ->
+    smallest label). The corpus never shuffles; no Q x N rows
+    materialize anywhere."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    q_ids = [r[0] for r in q_rows]
+    q_vecs = [[float(x) for x in r[1]] for r in q_rows]
+    q_norms = [_py_norm(v) for v in q_vecs]
+    # probe_labels_col semantics: top-nprobe centroid labels by
+    # (cosine desc, label asc); centroid norms via the same fold
+    probes = []
+    for qv, qn in zip(q_vecs, q_norms):
+        scored_c = sorted(
+            (
+                (_py_dot(qv, cv) / (qn * _py_norm(cv)), -int(lbl))
+                for lbl, cv in cents
+            ),
+            reverse=True,
+        )
+        probes.append({-nl for _s, nl in scored_c[:nprobe]})
+
+    b_q = spark.sparkContext.broadcast(
+        (
+            np.array(q_ids),
+            np.array(q_vecs, dtype=np.float64),
+            np.array(q_norms, dtype=np.float64),
+            probes,
+        )
+    )
+    n_q = len(q_ids)
+    kk = k
+
+    def score(batches):
+        ids_b, mat_b, norm_b, probes_b = b_q.value
+        dim_b = mat_b.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[corpus_id].to_numpy()
+            labels = pdf[label_col].to_numpy()
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            n = len(V)
+            dots = np.zeros((n, n_q))
+            nacc = np.zeros(n)
+            for d in range(dim_b):
+                dots += V[:, d : d + 1] * mat_b[:, d][None, :]
+                nacc = nacc + V[:, d] * V[:, d]
+            c_norm = np.sqrt(nacc)
+            out_q, out_n, out_c, out_p = [], [], [], []
+            for qi in range(n_q):
+                denom = norm_b[qi] * c_norm
+                cos = dots[:, qi] / denom
+                mask = cids != ids_b[qi]
+                cand = np.nonzero(mask)[0]
+                if len(cand) == 0:
+                    continue
+                # exact struct(cosine, neighbor_id) desc comparator:
+                # lexsort ascending by (-cosine primary, -id secondary)
+                order = np.lexsort((-cids[cand], -cos[cand]))
+                top = cand[order[:kk]]
+                out_q.extend([ids_b[qi]] * len(top))
+                out_n.extend(cids[top])
+                out_c.extend(cos[top])
+                out_p.extend(bool(labels[t] in probes_b[qi]) for t in top)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(out_q, dtype=np.int64),
+                    "neighbor_id": np.array(out_n, dtype=np.int64),
+                    "cosine": np.array(out_c, dtype=np.float64),
+                    "_in_probe": np.array(out_p, dtype=bool),
+                }
+            )
+
+    partials = corpus.select(corpus_id, label_col, vec_col).mapInPandas(
+        score,
+        schema="query_id long, neighbor_id long, cosine double, _in_probe boolean",
+    )
+    from pyspark.sql.window import Window
+
+    w_ex = Window.partitionBy("query_id").orderBy(
+        F.struct(F.col("cosine"), F.col("neighbor_id")).desc()
+    )
+    ranked = partials.select(
+        "query_id",
+        "_in_probe",
+        F.row_number().over(w_ex).alias("_rn_ex"),
+    ).filter(F.col("_rn_ex") <= k)
+    agg = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(F.col("_in_probe"), 1).otherwise(0)).alias("n_hit"),
     )
     return agg.select(
         "query_id",
@@ -906,14 +1043,51 @@ def ann_recall_report(
     one sort, one aggregate; the values are identical to the two-leg
     form by construction.
     """
+    import os
+
+    # ONE model collect under the GENERAL driver budget (32k cells).
+    # The vec leg consumes the rows as Python data, so the much smaller
+    # LITERAL_CENTROID_MAX_CELLS budget — which guards SQL-literal
+    # parse/codegen cost, not driver memory — does not apply to it;
+    # the SQL fallback below keeps the literal-vs-join decision exactly
+    # as before by re-checking the 2,048-cell argmax budget on the
+    # already-collected rows (at sf~1 the 100-label x 64-dim table is
+    # 6,400 cells: the r12-build code collapsed BOTH legs to the
+    # broadcast-join probe path there, which is why ann_recall stayed
+    # >2x at sf~1 while fine at sf0.1).
+    model_rows = collect_model_rows(
+        centroids, label_col, "centroid",
+        max_cells=LITERAL_MODEL_MAX_CELLS,
+    )
+    cents = (
+        model_rows
+        if model_rows is not None
+        and sum(len(v) for _, v in model_rows) <= LITERAL_CENTROID_MAX_CELLS
+        else None
+    )
+    if model_rows is not None and os.environ.get("SPARK_GRAFT_RECALL_LEG") != "sql":
+        # round 12 (opt round): vectorized Arrow leg — the query sample
+        # is collected (bounded, like ann_topk_blas; cap enforced in the
+        # same single job) and the exact Q x N cosines run as per-dim
+        # numpy folds instead of the interpreted HOF dot per pair. Falls
+        # through to the SQL window form above the cap or when the
+        # centroid model exceeds the literal budget
+        # ($SPARK_GRAFT_RECALL_LEG=sql keeps the SQL form as A/B seam).
+        q_rows = (
+            queries.select(query_id, vec_col)
+            .limit(RECALL_VEC_MAX_QUERIES + 1)
+            .collect()
+        )
+        if q_rows and len(q_rows) <= RECALL_VEC_MAX_QUERIES:
+            return _recall_report_vec(
+                q_rows, corpus, model_rows, k, nprobe, corpus_id, vec_col,
+                label_col,
+            )
+
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_norm"),
-    )
-    cents = collect_model_rows(
-        centroids, label_col, "centroid",
-        max_cells=LITERAL_CENTROID_MAX_CELLS,
     )
     if cents is not None:
         # literal probe selection — no centroid join, no top-k window
@@ -968,34 +1142,32 @@ def ann_recall_report(
     )
     from pyspark.sql.window import Window
 
-    # round 12: ONE window sort, not two. The probe rank the n_hit
-    # predicate consults is only ever read on in-probe rows, and for an
-    # in-probe row its rank under (in_probe desc, struct desc) equals
-    # the RUNNING COUNT of in-probe rows at-or-before it under plain
-    # (struct desc) — so both ranks are window functions over the SAME
-    # partitioning + ordering and Spark plans a single Window operator
-    # with a single underlying sort of the Q x N pair table (the old
-    # two-ordering form sorted it twice).
+    # round 12 (opt round): the probe rank is REDUNDANT, not merely
+    # fusable. The r11/r12 form kept a running count of in-probe rows
+    # (`_rn_pr`, the probe-subset rank) and required `_rn_pr <= k` in
+    # the hit predicate — but a subset rank can never exceed the rank
+    # over the whole set: an in-probe row with exact rank <= k has
+    # probe rank <= its exact rank <= k, so `_rn_pr <= k` is implied by
+    # `_rn_ex <= k AND _in_probe` whenever the probe leg's k equals the
+    # truth leg's k (this function always uses one k for both). Dropping
+    # it leaves a pure row_number-+-filter window, which Spark 3.5+/4.x
+    # rewrites with WindowGroupLimit: a PARTIAL per-partition top-k
+    # runs below the exchange, so the shuffle and the final sort carry
+    # Q x k rows instead of the whole Q x N pair table (the plan-before
+    # artifact shows Exchange+Sort over Q x N; the plan-after shows
+    # WindowGroupLimit(Partial) under the exchange). Values are
+    # identical by the subset-rank argument; re-verified against the
+    # DuckDB oracle at sf0.01.
     order_struct = F.struct(F.col("cosine"), F.col("neighbor_id"))
     w_ex = Window.partitionBy("query_id").orderBy(order_struct.desc())
     ranked = scored.select(
         "query_id",
         "_in_probe",
         F.row_number().over(w_ex).alias("_rn_ex"),
-        F.sum(F.when(F.col("_in_probe"), 1).otherwise(0))
-        .over(w_ex.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("_rn_pr"),
-    )
+    ).filter(F.col("_rn_ex") <= k)
     agg = ranked.groupBy("query_id").agg(
-        F.sum(F.when(F.col("_rn_ex") <= k, 1).otherwise(0)).alias("n_true"),
-        F.sum(
-            F.when(
-                (F.col("_rn_ex") <= k)
-                & F.col("_in_probe")
-                & (F.col("_rn_pr") <= k),
-                1,
-            ).otherwise(0)
-        ).alias("n_hit"),
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(F.when(F.col("_in_probe"), 1).otherwise(0)).alias("n_hit"),
     )
     return agg.select(
         "query_id",

@@ -489,3 +489,51 @@ def test_ann_sq_recall_fused_matches_two_leg(spark):
     pd.testing.assert_frame_equal(
         fused, twoleg[fused.columns], check_dtype=False
     )
+
+
+def test_recall_vec_leg_matches_sql_leg(spark, monkeypatch):
+    """Round-12 (opt round) seam parity: the vectorized Arrow recall leg
+    (driver-collected query sample + per-dimension numpy IEEE folds +
+    per-batch partial top-k) must equal the SQL window form value for
+    value — on BOTH sides of the literal-centroid budget, since sf~1
+    centroid tables cross LITERAL_CENTROID_MAX_CELLS and take the
+    broadcast-join probe path while the sf0.01 oracle runs the literal
+    one. Also pins the subset-rank simplification: an in-probe row with
+    exact rank <= k always has probe rank <= k."""
+    from hri_flink_pipeline_core_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(((i * 13 + j * 5) % 17) - 8) / 8.0 for j in range(8)],
+          i % 5)
+         for i in range(80)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    cents = S._centroid_means(
+        emb.select("label", "embedding"), ["label"], "embedding",
+        S.quantized_mean_sql(),
+    ).withColumnRenamed("mean_vec", "centroid")
+    if "centroid" not in cents.columns:
+        cents = cents.toDF("label", "centroid")
+    q = emb.filter(F.col("vec_id") < 6)
+
+    def run(nprobe):
+        monkeypatch.delenv("SPARK_GRAFT_RECALL_LEG", raising=False)
+        vec = sorted(
+            map(tuple, S.ann_recall_report(q, emb, cents, k=3, nprobe=nprobe)
+                .collect())
+        )
+        monkeypatch.setenv("SPARK_GRAFT_RECALL_LEG", "sql")
+        sql = sorted(
+            map(tuple, S.ann_recall_report(q, emb, cents, k=3, nprobe=nprobe)
+                .collect())
+        )
+        return vec, sql
+
+    for nprobe in (1, 2):
+        vec, sql = run(nprobe)
+        assert vec == sql and len(vec) == 6
+    # budget crossover: force the join probe path for the SQL leg while
+    # the vec leg still collects the model under the general budget
+    monkeypatch.setattr(S, "LITERAL_CENTROID_MAX_CELLS", 0)
+    vec, sql = run(1)
+    assert vec == sql and len(vec) == 6
