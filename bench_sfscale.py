@@ -59,7 +59,11 @@ def main() -> int:
     # oracle leg (rows before/after are comparable: a run that needed
     # the spill path would previously have produced no row at all).
     con.execute("SET temp_directory='/tmp/duck_spill'")
-    con.execute("SET memory_limit='48GB'")
+    # round 12 opt: 48GB still hard-OOM'd on the span_cut_text oracle at
+    # sf~10 (some DuckDB operators — list aggs — cannot spill); the host
+    # has ~124GB free and the Spark side of these sweeps stays under a
+    # few GB, so give the oracle most of the box.
+    con.execute("SET memory_limit='96GB'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
