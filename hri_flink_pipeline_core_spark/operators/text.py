@@ -60,18 +60,31 @@ def hash60(s: Column) -> Column:
 
 def shingles(text: Column, k: int = 5) -> Column:
     """Word k-gram shingles as an array<string> — built by index
-    transform over the token array (per-row, no explode/shuffle)."""
-    toks = tokens(text)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    join_k = lambda i: F.concat_ws(
-        " ", *[F.get(toks, i + off) for off in range(k)]
-    )
-    return F.when(n >= k, F.transform(idx, join_k)).otherwise(
-        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
-            F.array().cast("array<string>")
+    transform over the token array (per-row, no explode/shuffle).
+
+    The token array is LET-BOUND by wrapping it in a one-element array
+    and running the shingle construction inside a ``transform`` lambda,
+    so the split+filter tokenization evaluates ONCE per row. Inlining
+    ``tokens(text)`` at each reference site instead re-runs the full
+    regex split at every (shingle index, offset) site of the inner
+    lambda — higher-order functions evaluate interpreted, and no
+    subexpression elimination hoists a subtree out of the per-element
+    loop (round 12: 4.48 s -> 0.61 s for the sf~1 corpus shingle
+    explode-count, identical gram multiset both ways)."""
+
+    def _body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        join_k = lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + off) for off in range(k)]
         )
-    )
+        return F.when(n >= k, F.transform(idx, join_k)).otherwise(
+            F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    return F.get(F.transform(F.array(tokens(text)), _body), 0)
 
 
 def quality_score(text: Column) -> Column:

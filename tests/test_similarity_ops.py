@@ -537,3 +537,44 @@ def test_recall_vec_leg_matches_sql_leg(spark, monkeypatch):
     monkeypatch.setattr(S, "LITERAL_CENTROID_MAX_CELLS", 0)
     vec, sql = run(1)
     assert vec == sql and len(vec) == 6
+
+
+def test_shingles_let_bound_matches_naive_inline(spark):
+    """Round 12: ``shingles()`` let-binds the token array (one-element
+    array + transform) so the split+filter tokenization evaluates once
+    per row instead of once per (index, offset) lambda site — a 7.3x
+    expression-level win on the sf~1 shingle explode. This pins the
+    let-bound form to a naive inline reference (the pre-round-12 shape)
+    across the edge cases: NULL text, empty, whitespace-only, fewer
+    tokens than k, exactly k, more than k, and multi-space runs."""
+    from hri_flink_pipeline_core_spark.operators.text import shingles, tokens
+
+    def naive(text, k):
+        toks = tokens(text)
+        n = F.size(toks)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        join_k = lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + off) for off in range(k)]
+        )
+        return F.when(n >= k, F.transform(idx, join_k)).otherwise(
+            F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+
+    rows = [
+        (None,),
+        ("",),
+        ("   \t  ",),
+        ("one",),
+        ("one two",),
+        ("one two three",),
+        ("one two three four",),
+        ("a  b\t c   d e f",),
+        ("w0 w1 w2 w3 w4 w5 w6 w7 w8 w9",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    for k in (2, 3, 5):
+        got = df.select(shingles(F.col("text"), k).alias("s")).collect()
+        want = df.select(naive(F.col("text"), k).alias("s")).collect()
+        assert [r.s for r in got] == [r.s for r in want], f"k={k}"
