@@ -3472,8 +3472,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_multiprobe": q_ann_recall_multiprobe,
         "pagerank_domains": q_pagerank_domains,
         "cooccurrence_lift": q_cooccurrence_lift,
-        # -- (1) the 41 keys whose latest driver row is r9 (VERDICT r11
-        #    #7), alphabetical; tiers 0+1 = the 50-key window exactly --
+        # -- (0b) the 5 keys whose plans changed with the round-12
+        #    shingles() let-binding fix (commit 48b3d2d) and that were
+        #    not already in the window (the 6th, vocab_coverage, is in
+        #    tier (1) below): modified-keys-first outranks staleness
+        #    rotation, so these displace the last 5 tier-(1) keys --
+        "containment_pairs": q_containment_pairs,
+        "doc_fingerprint": q_doc_fingerprint,
+        "incremental_neardup": q_incremental_neardup,
+        "kmv_set_ops": q_kmv_set_ops,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        # -- (1) 36 of the 41 keys whose latest driver row is r9
+        #    (VERDICT r11 #7), alphabetical; the 5 displaced by tier
+        #    (0b) open tier (2); tiers 0+0b+1 = the 50-key window
+        #    exactly --
         "ann_sq_topk": q_ann_sq_topk,
         "approx_percentile_binned": q_approx_percentile_binned,
         "asof_latest_order": q_asof_latest_order,
@@ -3505,14 +3517,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": q_skew_profile,
         "snapshot_diff": q_snapshot_diff,
         "term_topk": q_term_topk,
-        "threshold_trigger": q_threshold_trigger,
-        "topk_per_key": q_topk_per_key,
-        "topp_select": q_topp_select,
         "tracker_terminal": q_tracker_terminal,
         "triangle_count": q_triangle_count,
         "triangle_count_oriented": q_triangle_count_oriented,
         "validation_invalid": q_validation_invalid,
         "vocab_coverage": q_vocab_coverage,
+        # -- (1b) the 5 r9-stale keys displaced from the window by tier
+        #    (0b): still r9-stale, first rotation targets for r13;
+        #    chosen as the lowest-risk pure-relational micro-keys --
+        "threshold_trigger": q_threshold_trigger,
+        "topk_per_key": q_topk_per_key,
+        "topp_select": q_topp_select,
         "weighted_sample": q_weighted_sample,
         "zorder_index": q_zorder_index,
         # -- (2) the r10-checked keys not already in tier (0), alphabetical --
@@ -3525,7 +3540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bucketed_join_colocated": q_bucketed_join_colocated,
         "centroid_distances": q_centroid_distances,
-        "containment_pairs": q_containment_pairs,
         "cosine_neardup": q_cosine_neardup,
         "cosine_neardup_lsh": q_cosine_neardup_lsh,
         "count_by_key": q_count_by_key,
@@ -3540,9 +3554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets_agg": q_grouping_sets_agg,
         "ivf_centroids": q_ivf_centroids,
         "join_broadcast_part": q_join_broadcast_part,
-        "kmv_set_ops": q_kmv_set_ops,
         "lsh_bucket_counts": q_lsh_bucket_counts,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "pricing_summary": q_pricing_summary,
         "project_net_price": q_project_net_price,
         "range_frame_window": q_range_frame_window,
@@ -3562,14 +3574,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "contamination_flag": q_contamination_flag,
         "dedup_clusters_star": q_dedup_clusters_star,
-        "doc_fingerprint": q_doc_fingerprint,
         "duplicate_spans": q_duplicate_spans,
         "edit_distance_pairs": q_edit_distance_pairs,
         "event_funnel": q_event_funnel,
         "event_transitions": q_event_transitions,
         "frame_sample": q_frame_sample,
         "hash_sample": q_hash_sample,
-        "incremental_neardup": q_incremental_neardup,
         "json_array_funcs": q_json_array_funcs,
         "kmv_distinct": q_kmv_distinct,
         "media_blob_stats": q_media_blob_stats,
