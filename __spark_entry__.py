@@ -3472,18 +3472,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_multiprobe": q_ann_recall_multiprobe,
         "pagerank_domains": q_pagerank_domains,
         "cooccurrence_lift": q_cooccurrence_lift,
-        # -- (0b) the 5 keys whose plans changed with the round-12
-        #    shingles() let-binding fix (commit 48b3d2d) and that were
-        #    not already in the window (the 6th, vocab_coverage, is in
+        # -- (0b) the keys whose plans changed with the round-12
+        #    let-binding fixes (shingles commit 48b3d2d; quality_score /
+        #    lang_id same pattern) and that were not already in the
+        #    window (vocab_coverage, lang_id, curation_pipeline are in
         #    tier (1) below): modified-keys-first outranks staleness
-        #    rotation, so these displace the last 5 tier-(1) keys --
+        #    rotation, so these displace the last 7 tier-(1) keys --
         "containment_pairs": q_containment_pairs,
+        "dedup_keep_best": q_dedup_keep_best,
         "doc_fingerprint": q_doc_fingerprint,
         "incremental_neardup": q_incremental_neardup,
         "kmv_set_ops": q_kmv_set_ops,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        # -- (1) 36 of the 41 keys whose latest driver row is r9
-        #    (VERDICT r11 #7), alphabetical; the 5 displaced by tier
+        "text_stats": q_text_stats,
+        # -- (1) 34 of the 41 keys whose latest driver row is r9
+        #    (VERDICT r11 #7), alphabetical; the 7 displaced by tier
         #    (0b) open tier (2); tiers 0+0b+1 = the 50-key window
         #    exactly --
         "ann_sq_topk": q_ann_sq_topk,
@@ -3514,17 +3517,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_counts": q_route_counts,
         "salted_join_skewed": q_salted_join_skewed,
         "simhash_pairs": q_simhash_pairs,
-        "skew_profile": q_skew_profile,
-        "snapshot_diff": q_snapshot_diff,
         "term_topk": q_term_topk,
         "tracker_terminal": q_tracker_terminal,
         "triangle_count": q_triangle_count,
         "triangle_count_oriented": q_triangle_count_oriented,
         "validation_invalid": q_validation_invalid,
         "vocab_coverage": q_vocab_coverage,
-        # -- (1b) the 5 r9-stale keys displaced from the window by tier
+        # -- (1b) the 7 r9-stale keys displaced from the window by tier
         #    (0b): still r9-stale, first rotation targets for r13;
         #    chosen as the lowest-risk pure-relational micro-keys --
+        "skew_profile": q_skew_profile,
+        "snapshot_diff": q_snapshot_diff,
         "threshold_trigger": q_threshold_trigger,
         "topk_per_key": q_topk_per_key,
         "topp_select": q_topp_select,
@@ -3547,7 +3550,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "date_funcs": q_date_funcs,
         "dedup_clusters": q_dedup_clusters,
-        "dedup_keep_best": q_dedup_keep_best,
         "doc_rarity": q_doc_rarity,
         "domain_mix": q_domain_mix,
         "filter_orders": q_filter_orders,
@@ -3601,7 +3603,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_moments": q_stats_moments,
         "stratified_sample": q_stratified_sample,
         "string_funcs": q_string_funcs,
-        "text_stats": q_text_stats,
         "tfidf_topterms": q_tfidf_topterms,
         "tpch_q10_returned_items": q_tpch_q10_returned_items,
         "tpch_q13_order_distribution": q_tpch_q13_order_distribution,

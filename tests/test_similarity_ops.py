@@ -578,3 +578,83 @@ def test_shingles_let_bound_matches_naive_inline(spark):
         got = df.select(shingles(F.col("text"), k).alias("s")).collect()
         want = df.select(naive(F.col("text"), k).alias("s")).collect()
         assert [r.s for r in got] == [r.s for r in want], f"k={k}"
+
+
+def test_quality_and_langid_let_bound_match_naive_inline(spark):
+    """Round 12: quality_score() and lang_id() let-bind the token array
+    the same way shingles() does (HOF filters block codegen CSE, so the
+    inline form re-ran the split per reference site). Pins both to the
+    pre-round-12 naive inline shapes across NULL/empty/whitespace/CJK/
+    marker-tie edge cases."""
+    from hri_flink_pipeline_core_spark.operators.text import (
+        _LANG_MARKERS,
+        _LANG_ORDER,
+        STOPWORDS,
+        lang_id,
+        quality_score,
+        token_count_ws,
+        tokens,
+    )
+
+    def naive_quality(text):
+        n_chars = F.length(text)
+        n_tok = token_count_ws(text)
+        n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^\w\s]"), 0))
+        n_stop = F.size(
+            F.filter(tokens(text), lambda t: F.lower(t).isin([*STOPWORDS]))
+        )
+        len_ok = (n_chars >= 100) & (n_chars <= 20000)
+        punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+        stop_ratio = n_stop / F.greatest(n_tok, F.lit(1))
+        mean_tok_len = n_chars / F.greatest(n_tok, F.lit(1))
+        tok_len_ok = (mean_tok_len >= 3) & (mean_tok_len <= 12)
+        return (
+            F.when(len_ok, 0.25).otherwise(0.0)
+            + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+            + F.when(stop_ratio >= 0.05, 0.25).otherwise(0.0)
+            + F.when(tok_len_ok, 0.25).otherwise(0.0)
+        )
+
+    def naive_lang(text):
+        toks = F.transform(tokens(text), lambda t: F.lower(t))
+        n_cjk = F.size(
+            F.regexp_extract_all(text, F.lit(r"[\x{4e00}-\x{9fff}]"), 0)
+        )
+        scores = {
+            lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+            for lang, markers in _LANG_MARKERS.items()
+        }
+        best = F.greatest(*[scores[lang] for lang in _LANG_ORDER])
+        decision = F.lit("und")
+        for lang in reversed(_LANG_ORDER):
+            decision = F.when(
+                (best > 0) & (scores[lang] == best), F.lit(lang)
+            ).otherwise(decision)
+        return F.when(
+            n_cjk * 10 > F.length(text), F.lit("zh")
+        ).otherwise(decision)
+
+    rows = [
+        (None,),
+        ("",),
+        ("   ",),
+        ("the and of to is in it you that was " * 5,),
+        ("el la de que y en un los del se",),
+        ("le la de et les des en du un une",),
+        ("der die und das den von zu mit sich des",),
+        ("的 一 是 在 不 了 有 和 人 这 中 大 为 上 个",),
+        ("x" * 50,),
+        ("word " * 40,),
+        ("the el le der",),  # 4-way marker tie -> _LANG_ORDER tiebreak
+        ("!!! ??? ... ,,,",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = df.select(
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("l"),
+    ).collect()
+    want = df.select(
+        naive_quality(F.col("text")).alias("q"),
+        naive_lang(F.col("text")).alias("l"),
+    ).collect()
+    assert [(r.q, r.l) for r in got] == [(r.q, r.l) for r in want]
