@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Dump .explain("formatted") for declared queries into plans/r12/.
+"""Dump .explain("formatted") for declared queries into plans/<round>/.
 
 Usage: python dump_plans.py <suffix> [query,query,...]
-  suffix: "before" or "after" -> plans/r12/<query>_<suffix>.txt
+  suffix: "before" or "after" -> plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt
+  round dir: $SPARK_GRAFT_PLAN_ROUND (default r13)
   default query list: all of __spark_entry__.queries().
 
 Building a DataFrame may itself run bounded driver jobs (budget-gated
@@ -26,7 +27,11 @@ def main() -> int:
     from hri_flink_pipeline_core_spark.session import get_spark
 
     spark = get_spark("plan-dump")
-    out_dir = pathlib.Path(__file__).resolve().parent / "plans" / "r12"
+    out_dir = (
+        pathlib.Path(__file__).resolve().parent
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r13")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
 
     qs = entry.queries()
