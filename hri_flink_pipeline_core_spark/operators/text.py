@@ -13,6 +13,8 @@ has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -200,6 +202,56 @@ def pii_redact(text: Column) -> Column:
 # that scales: at 100 TB the explode output never materializes — it
 # streams through the agg inside one stage.
 
+# Vocabulary budget for the driver-local BPE merge loop (rows of the
+# word-frequency table). At or under the budget the 20 data-dependent
+# merge rounds run in the driver on the COLLECTED word table; above it
+# the distributed per-round loop runs unchanged. 65,536 rows of
+# (sym, freq) is a few MB — the same bounded-collect class as the kmv
+# sketches (k rows) and the literal model budget (32k cells). 0 disables
+# the local path (A/B seam; tests pin local == distributed).
+BPE_LOCAL_MAX_WORDS = 65536
+
+
+def _bpe_train_local(rows, n_merges: int):
+    """Driver-local BPE merge loop over collected (sym, freq) rows —
+    the identical greedy algorithm the distributed loop runs: per round,
+    adjacent-pair counts weighted by word frequency; argmax by
+    (count desc, left asc, right asc); left-to-right non-overlapping
+    merge. String ties compare identically in Python (code points) and
+    Spark (UTF8 bytes) — UTF-8 byte order IS code-point order. The
+    left-to-right list scan is the same non-overlapping replacement
+    order as the distributed loop's zero-width-lookaround
+    regexp_replace (pinned against it in tests, including the
+    Pattern.quote edge cases — the local scan has no regex at all, so
+    the quoting hazards vanish rather than needing escapes)."""
+    from collections import Counter
+
+    words = [(sym.split(" "), int(freq)) for sym, freq in rows]
+    merges = []
+    for i in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((i, left, right, left + right, int(cnt)))
+        for w, (syms, f) in enumerate(words):
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                    out.append(left + right)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[w] = (out, f)
+    return merges
+
+
 def bpe_train(
     df,
     text_col: str = "text",
@@ -252,6 +304,35 @@ def bpe_train(
             "freq",
         )
     ).transform(checkpoint_small)
+    spark = df.sparkSession
+
+    # Driver-local merge loop under a vocabulary budget (round 13): the
+    # heavy, corpus-scale work — tokenize + word-frequency aggregation —
+    # is the Spark pipeline above and runs regardless; the 20 merge
+    # rounds then operate on the VOCABULARY-sized table only. Under the
+    # budget, 20 sequential Spark actions over a kilobyte table are
+    # pure per-round job floor (measured sf0.1: 31-row vocabulary,
+    # ~0.25 s/round, ~5 s of 5.9 s total), so the rounds run in the
+    # driver on the collected table instead — same algorithm, same
+    # result (pinned local == distributed in tests), one bounded
+    # limit+collect action in place of 20+ jobs. Above the budget the
+    # distributed loop below runs unchanged — the same measured-
+    # crossover pattern as the literal-model budget in similarity.py.
+    local_max = int(
+        os.environ.get("SPARK_GRAFT_BPE_LOCAL_MAX_WORDS", str(BPE_LOCAL_MAX_WORDS))
+    )
+    if local_max > 0:
+        head = words.limit(local_max + 1).collect()
+        if len(head) <= local_max:
+            merges = _bpe_train_local(
+                [(r["sym"], r["freq"]) for r in head], n_merges
+            )
+            return spark.createDataFrame(
+                merges,
+                "merge_idx int, left string, right string, merged string,"
+                " pair_count long",
+            )
+
     # the word table is VOCABULARY-sized; partition it proportionally
     # (one partition per ~64k words, capped at the cluster default) so
     # the 20 per-round jobs don't each schedule a corpus-sized task set
@@ -309,7 +390,6 @@ def bpe_train(
         if (i + 1) % 2 == 0:
             words = words.transform(checkpoint_small)
 
-    spark = df.sparkSession
     return spark.createDataFrame(
         merges, "merge_idx int, left string, right string, merged string, pair_count long"
     )

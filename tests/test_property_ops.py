@@ -11,6 +11,8 @@ deadlines are disabled for the same reason.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -572,15 +574,24 @@ texts_strategy = st.lists(
 @given(texts=texts_strategy)
 @settings(**{**_SETTINGS, "max_examples": 5})
 def test_bpe_train_matches_python_reference(spark, texts):
+    """Both bpe_train execution paths — the driver-local merge loop
+    (vocabulary under budget, the round-13 default at test scale) and
+    the distributed per-round loop (budget seam set to 0) — must match
+    the pure-Python reference, and therefore each other."""
     from hri_flink_pipeline_core_spark.operators.text import bpe_train
 
     df = spark.createDataFrame([(t,) for t in texts], "text string")
-    got = [
-        (r.merge_idx, r.left, r.right, r.merged, r.pair_count)
-        for r in bpe_train(df, n_merges=6).orderBy("merge_idx").collect()
-    ]
     expected = _bpe_train_python(texts, 6)
-    assert got == expected
+    for budget in ("65536", "0"):
+        os.environ["SPARK_GRAFT_BPE_LOCAL_MAX_WORDS"] = budget
+        try:
+            got = [
+                (r.merge_idx, r.left, r.right, r.merged, r.pair_count)
+                for r in bpe_train(df, n_merges=6).orderBy("merge_idx").collect()
+            ]
+        finally:
+            os.environ.pop("SPARK_GRAFT_BPE_LOCAL_MAX_WORDS", None)
+        assert got == expected, f"budget={budget}"
 
 
 def test_bpe_train_regex_special_symbols(spark):
@@ -599,12 +610,17 @@ def test_bpe_train_regex_special_symbols(spark):
         "((((",           # unbalanced paren would break live regex
     ]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
-    got = [
-        (r.merge_idx, r.left, r.right, r.merged, r.pair_count)
-        for r in bpe_train(df, n_merges=8).orderBy("merge_idx").collect()
-    ]
     expected = _bpe_train_python(texts, 8)
-    assert got == expected
+    for budget in ("65536", "0"):
+        os.environ["SPARK_GRAFT_BPE_LOCAL_MAX_WORDS"] = budget
+        try:
+            got = [
+                (r.merge_idx, r.left, r.right, r.merged, r.pair_count)
+                for r in bpe_train(df, n_merges=8).orderBy("merge_idx").collect()
+            ]
+        finally:
+            os.environ.pop("SPARK_GRAFT_BPE_LOCAL_MAX_WORDS", None)
+        assert got == expected, f"budget={budget}"
 
 
 # ---------------------------------------------------------------------------
