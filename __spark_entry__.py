@@ -300,7 +300,15 @@ def q_dedup_keep_best(spark, sf_dir):
     Column over the docs scan; the join keys the corpus by doc_id once
     against the (small) cluster membership — at 100 TB that join
     broadcasts the membership side; the argmax is one window over
-    cluster_id (cluster-sized partitions, bounded by construction)."""
+    cluster_id (cluster-sized partitions, bounded by construction).
+
+    Round 13: the max(struct(quality, -doc_id)) hash-aggregate form of
+    this argmax (the pq_encode/prefix_filter conversion) was built,
+    verified output-identical, and measured SLOWER at both sf0.1
+    (2.88 -> 3.00 s) and sf~1 (4.10 -> 4.25 s, interleaved min-of-3,
+    ab_r13.py `keep_best_agg_new`): cluster partitions are bounded and
+    tiny, so the removed per-cluster sort is cheaper than the added
+    struct build + double negation on every member row. Not shipped."""
     from pyspark.sql import Window as SW
 
     docs = _tp(spark, sf_dir, "documents")
