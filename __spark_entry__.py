@@ -3455,85 +3455,23 @@ def q_cooccurrence_lift(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Key ORDER is deliberate: the driver's correctness harness has a
     # per-round budget (50 keys/round observed since round 1) and walks
-    # this dict in order. Round-12 ordering, per VERDICT.md round 11
-    # "Next round" #1 and #7: (0) modified-keys-first — the ANN-PQ /
-    # kmeans family whose r11-end plan changes (commits 429aeb8,
-    # 1aa6d98: measured literal/join crossover, pq_encode max(struct)
-    # argmax) postdate their r10 driver rows, plus ann_recall /
-    # ann_recall_multiprobe (shared fused recall report, re-planned
-    # this round), pagerank_domains (NULL-edge contract unified across
-    # the three shapes this round — ADVICE r11 medium), and
-    # cooccurrence_lift (r12 cardinality-cut work). (1) the 41 keys
-    # whose latest driver row is r9 — the stalest slice; the freshness
-    # floor advances r9 -> r10. Tiers 0+1 fill the 50-key window
-    # exactly. (2)-(3) the rest, oldest driver round first,
-    # alphabetical within tier.
+    # this dict in order. Round-13 ordering (same standing policy as
+    # r11/r12): (0) modified-keys-first — bpe_merges, whose executed
+    # shape changed this round (driver-local merge loop, e347705) after
+    # its last driver row; then oldest-driver-row-first — (1) the 7
+    # r9-stale keys, (2) the 36 r10-stale keys, (3a) 6 r11-stale keys
+    # filling the 50-key window exactly; (3b)/(4) the rest, oldest
+    # first, alphabetical within tier.
     return {
-        # -- (0) 9 modified-keys-first (VERDICT r11 #1): r11-end plan
-        #    changes postdate their r10 driver rows, or r12 plan work --
-        "ann_pq_adc": q_ann_pq_adc,
-        "ann_pq_rerank": q_ann_pq_rerank,
-        "ann_pq_recall": q_ann_pq_recall,
-        "pq_code_histogram": q_pq_code_histogram,
-        "kmeans_refine": q_kmeans_refine,
-        "ann_recall": q_ann_recall,
-        "ann_recall_multiprobe": q_ann_recall_multiprobe,
-        "pagerank_domains": q_pagerank_domains,
-        "cooccurrence_lift": q_cooccurrence_lift,
-        # -- (0b) the keys whose plans changed with the round-12
-        #    let-binding fixes (shingles commit 48b3d2d; quality_score /
-        #    lang_id same pattern) and that were not already in the
-        #    window (vocab_coverage, lang_id, curation_pipeline are in
-        #    tier (1) below): modified-keys-first outranks staleness
-        #    rotation, so these displace the last 7 tier-(1) keys --
-        "containment_pairs": q_containment_pairs,
-        "dedup_keep_best": q_dedup_keep_best,
-        "doc_fingerprint": q_doc_fingerprint,
-        "incremental_neardup": q_incremental_neardup,
-        "kmv_set_ops": q_kmv_set_ops,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "text_stats": q_text_stats,
-        # -- (1) 34 of the 41 keys whose latest driver row is r9
-        #    (VERDICT r11 #7), alphabetical; the 7 displaced by tier
-        #    (0b) open tier (2); tiers 0+0b+1 = the 50-key window
-        #    exactly --
-        "ann_sq_topk": q_ann_sq_topk,
-        "approx_percentile_binned": q_approx_percentile_binned,
-        "asof_latest_order": q_asof_latest_order,
-        "bigram_topk": q_bigram_topk,
-        "countmin_heavy": q_countmin_heavy,
-        "curation_pipeline": q_curation_pipeline,
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_text": q_dedup_exact_text,
-        "doc_chunks": q_doc_chunks,
-        "gopher_rules": q_gopher_rules,
-        "interval_join_anchor_windows": q_interval_join_anchor_windows,
-        "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
-        "lang_id": q_lang_id,
-        "latest_per_key": q_latest_per_key,
-        "merge_upsert": q_merge_upsert,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "pareto_frontier": q_pareto_frontier,
-        "percentile_filter": q_percentile_filter,
-        "pii_redact": q_pii_redact,
-        "pmi_bigrams": q_pmi_bigrams,
-        "posting_lists": q_posting_lists,
-        "prefix_filter_pairs": q_prefix_filter_pairs,
-        "repetition_score": q_repetition_score,
-        "resample_ffill": q_resample_ffill,
-        "rolling_zscore": q_rolling_zscore,
-        "route_counts": q_route_counts,
-        "salted_join_skewed": q_salted_join_skewed,
-        "simhash_pairs": q_simhash_pairs,
-        "term_topk": q_term_topk,
-        "tracker_terminal": q_tracker_terminal,
-        "triangle_count": q_triangle_count,
-        "triangle_count_oriented": q_triangle_count_oriented,
-        "validation_invalid": q_validation_invalid,
-        "vocab_coverage": q_vocab_coverage,
-        # -- (1b) the 7 r9-stale keys displaced from the window by tier
-        #    (0b): still r9-stale, first rotation targets for r13;
-        #    chosen as the lowest-risk pure-relational micro-keys --
+        # -- (0) modified-keys-first (the standing policy since r11): the
+        #    round-13 bpe_train driver-local merge loop changed
+        #    bpe_merges' executed shape (commit e347705) after its last
+        #    driver row (r11) — it leads the window (rows-only check by
+        #    design; a crash in the new path is still a red row) --
+        "bpe_merges": q_bpe_merges,
+        # -- (1) the 7 keys whose latest driver row is r9 (displaced
+        #    from the r12 window by its modified-keys tier; the stalest
+        #    slice — VERDICT r11 #7 continuation), alphabetical --
         "skew_profile": q_skew_profile,
         "snapshot_diff": q_snapshot_diff,
         "threshold_trigger": q_threshold_trigger,
@@ -3541,7 +3479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topp_select": q_topp_select,
         "weighted_sample": q_weighted_sample,
         "zorder_index": q_zorder_index,
-        # -- (2) the r10-checked keys not already in tier (0), alphabetical --
+        # -- (2) the 36 keys whose latest driver row is r10,
+        #    alphabetical; tiers 0+1+2+3a = the 50-key window exactly --
         "analytic_window": q_analytic_window,
         "ann_ivf_multiprobe": q_ann_ivf_multiprobe,
         "ann_ivf_probe": q_ann_ivf_probe,
@@ -3578,15 +3517,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_forecast_revenue": q_tpch_q6_forecast_revenue,
         "window_sliding": q_window_sliding,
         "window_tumbling": q_window_tumbling,
-        # -- (3) the r11-checked keys (freshest) not already in tier
-        #    (0), alphabetical --
+        # -- (3a) first 6 r11-checked keys (alphabetical) fill the
+        #    window to 50; the freshness floor advances r9 -> r11 for
+        #    everything in-window --
         "bloom_prune": q_bloom_prune,
-        "bpe_merges": q_bpe_merges,
         "contamination_flag": q_contamination_flag,
         "dedup_clusters_star": q_dedup_clusters_star,
         "duplicate_spans": q_duplicate_spans,
         "edit_distance_pairs": q_edit_distance_pairs,
         "event_funnel": q_event_funnel,
+        # -- (3b) the remaining r11-checked keys, alphabetical --
         "event_transitions": q_event_transitions,
         "frame_sample": q_frame_sample,
         "hash_sample": q_hash_sample,
@@ -3625,6 +3565,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "winsorized_stats": q_winsorized_stats,
         "zorder_manifest": q_zorder_manifest,
+        # -- (4) the keys checked in r12 (freshest rows), alphabetical --
+        "ann_pq_adc": q_ann_pq_adc,
+        "ann_pq_recall": q_ann_pq_recall,
+        "ann_pq_rerank": q_ann_pq_rerank,
+        "ann_recall": q_ann_recall,
+        "ann_recall_multiprobe": q_ann_recall_multiprobe,
+        "ann_sq_topk": q_ann_sq_topk,
+        "approx_percentile_binned": q_approx_percentile_binned,
+        "asof_latest_order": q_asof_latest_order,
+        "bigram_topk": q_bigram_topk,
+        "containment_pairs": q_containment_pairs,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "countmin_heavy": q_countmin_heavy,
+        "curation_pipeline": q_curation_pipeline,
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_text": q_dedup_exact_text,
+        "dedup_keep_best": q_dedup_keep_best,
+        "doc_chunks": q_doc_chunks,
+        "doc_fingerprint": q_doc_fingerprint,
+        "gopher_rules": q_gopher_rules,
+        "incremental_neardup": q_incremental_neardup,
+        "interval_join_anchor_windows": q_interval_join_anchor_windows,
+        "join_shuffle_orders_customer": q_join_shuffle_orders_customer,
+        "kmeans_refine": q_kmeans_refine,
+        "kmv_set_ops": q_kmv_set_ops,
+        "lang_id": q_lang_id,
+        "latest_per_key": q_latest_per_key,
+        "merge_upsert": q_merge_upsert,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "pagerank_domains": q_pagerank_domains,
+        "pareto_frontier": q_pareto_frontier,
+        "percentile_filter": q_percentile_filter,
+        "pii_redact": q_pii_redact,
+        "pmi_bigrams": q_pmi_bigrams,
+        "posting_lists": q_posting_lists,
+        "pq_code_histogram": q_pq_code_histogram,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
+        "repetition_score": q_repetition_score,
+        "resample_ffill": q_resample_ffill,
+        "rolling_zscore": q_rolling_zscore,
+        "route_counts": q_route_counts,
+        "salted_join_skewed": q_salted_join_skewed,
+        "simhash_pairs": q_simhash_pairs,
+        "term_topk": q_term_topk,
+        "text_stats": q_text_stats,
+        "tracker_terminal": q_tracker_terminal,
+        "triangle_count": q_triangle_count,
+        "triangle_count_oriented": q_triangle_count_oriented,
+        "validation_invalid": q_validation_invalid,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
