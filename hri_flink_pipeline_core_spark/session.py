@@ -69,6 +69,24 @@ def get_spark(
     # $SPARK_GRAFT_SHUFFLE_PARTITIONS overrides directly (the sf~1
     # sweeps re-measure under it).
     shuffle_default = "8" if mode == "local" else str(n)
+    # Catalyst constraint propagation is a pure OPTIMIZER-TIME cost:
+    # it infers redundant predicates (IsNotNull on join keys, filter
+    # transitivity) whose runtime BENEFIT is early pruning of data that
+    # only exists at data scale, while its planning cost grows with
+    # PLAN size (aliases x predicates — Spark's own docs flag it as
+    # "expensive for certain kinds of query plans"). This engine's
+    # plans are deep (LSH candidate trees, iterative CC/star rounds,
+    # unrolled literal models) and rebuilt per invocation, so at local
+    # bench scale the inference dominates: a same-session 20-key mixed
+    # A/B (round 13) read 24.4-25.0 s base vs 22.1 s with propagation
+    # off, with NO query slower and results bit-identical (the rule
+    # only ADDS redundant predicates; the full 138-key oracle sweep is
+    # re-verified under the off setting). Production keeps Spark's
+    # default ON: at multi-GB scans an inferred IsNotNull pushed into
+    # a parquet scan prunes real IO — the same overhead-vs-benefit
+    # scale crossover as the AQE advisory above.
+    # $SPARK_GRAFT_CONSTRAINT_PROP overrides directly ("true"/"false").
+    constraint_default = "false" if mode == "local" else "true"
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
@@ -101,6 +119,10 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", advisory_default),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.constraintPropagation.enabled",
+            os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", constraint_default),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -44,6 +44,25 @@ def test_get_spark_local_mode_advisory(spark):
     )
 
 
+def test_get_spark_local_mode_constraint_propagation(spark):
+    """Local mode disables Catalyst constraint propagation (round-13
+    paired measurement: ~10% of the sf0.1 suite was optimizer-time
+    inferring redundant IsNotNull predicates on plans rebuilt per
+    invocation; results are unchanged by construction — the rule only
+    ADDS predicates — and the full 138-key oracle sweep was re-verified
+    under the off setting). Production keeps Spark's default ON so
+    inferred pushdowns prune real IO at data scale;
+    $SPARK_GRAFT_CONSTRAINT_PROP overrides either way. This pins the
+    local default so the flag can't silently fall out of the builder."""
+    import os
+
+    expected = os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false")
+    assert (
+        spark.conf.get("spark.sql.constraintPropagation.enabled")
+        == expected
+    )
+
+
 def test_get_spark_gc_default(spark):
     """The driver JVM defaults to ParallelGC (round-9 paired A/B:
     JDK-17-default G1 taxed every benchmarked query 18-22%; BASELINE.md
