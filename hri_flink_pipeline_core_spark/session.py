@@ -123,6 +123,23 @@ def get_spark(
             "spark.sql.constraintPropagation.enabled",
             os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", constraint_default),
         )
+        # PySpark 4's DataFrame-debugging wrapper captures a Python call
+        # site for error enrichment on EVERY DataFrame API call: a
+        # Python stack walk plus ~3 py4j round-trips per operation
+        # (PySparkCurrentOrigin.set/clear + a conf read). This engine
+        # builds expression-heavy plans per invocation (a cProfile of
+        # one tracker query build showed 3,943 py4j round-trips = 1.0 s
+        # of socket wait, the majority from this wrapper), so the
+        # debug-UX feature costs ~5-7% of the bench suite (20-key mixed
+        # A/B, round 13: 24.5/24.9 -> 22.5/23.7 s). Scale-INDEPENDENT
+        # driver-side overhead — off in both modes; results and plans
+        # are untouched (the wrapper only enriches error messages).
+        # $SPARK_GRAFT_DF_DEBUGGING restores it for interactive
+        # debugging sessions.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -63,6 +63,21 @@ def test_get_spark_local_mode_constraint_propagation(spark):
     )
 
 
+def test_get_spark_dataframe_debugging_off(spark):
+    """PySpark's per-DataFrame-op call-site capture (error-message
+    enrichment) is disabled: ~3 py4j round-trips + a Python stack walk
+    per API call, measured at ~5-7% of the bench suite (round 13).
+    Scale-independent driver overhead, so off in both modes;
+    $SPARK_GRAFT_DF_DEBUGGING restores it for interactive debugging."""
+    import os
+
+    expected = os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false")
+    assert (
+        spark.conf.get("spark.python.sql.dataFrameDebugging.enabled")
+        == expected
+    )
+
+
 def test_get_spark_gc_default(spark):
     """The driver JVM defaults to ParallelGC (round-9 paired A/B:
     JDK-17-default G1 taxed every benchmarked query 18-22%; BASELINE.md
